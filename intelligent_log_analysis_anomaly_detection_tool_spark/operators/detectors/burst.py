@@ -1,0 +1,126 @@
+"""W3 BurstPatternDetector: repeated normalized message bursts.
+
+Reference semantics (/root/reference/src/anomaly/BurstPatternDetector.cpp:
+18-116; defaults include/anomaly/BurstPatternDetector.hpp:65-67):
+
+- key = ``source|level_int|normalized_msg`` where normalization is lowercase,
+  then ``[0-9a-f]{8,}`` -> ``<id>`` (BEFORE the number rule, so 8+ digit runs
+  become <id> not <n>), then ``\\b\\d+\\b`` -> ``<n>``, collapse whitespace,
+  trim
+- per key: trailing 60s deque (evict age > 60); after append, if count >= 20
+  emit a burst (score=count, window=[first,last] of deque); then IFF
+  count > 20 trim the deque to the last 10 events. Net: fires at 20, at 21
+  (then trim to 10), then again each refill to 20/21 while the burst persists
+- anomaly: SequenceViolation, High, desc
+  "Burst repetition detected: N repeats within 60s" (main.cpp:329-343)
+
+This trim-on-emit mutation is the one genuinely order-sensitive stateful op
+in the reference — not expressible as a SQL window frame (emission changes
+retained state). Spark-first strategy: key normalization is a native
+regexp_replace chain (JVM, codegen'd); the per-key scan runs in
+``groupBy(conv_id, burst_key).applyInPandas`` over the per-key sorted arrays.
+Keys are fine-grained (source x level x normalized message), so parallelism
+is high even inside hot conversations.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ...config import BurstConfig
+from .common import S_HIGH, T_SEQ, as_anomaly, with_epoch
+
+_SCAN_SCHEMA = (
+    "conv_id string, turn_idx int, window_start long, window_end long, "
+    "score double, source string, description string"
+)
+
+
+def normalized_message(col: Column) -> Column:
+    """normalizeMessage (BurstPatternDetector.cpp:18-56) as native exprs."""
+    s = F.lower(col)
+    s = F.regexp_replace(s, r"[0-9a-f]{8,}", "<id>")
+    s = F.regexp_replace(s, r"\b\d+\b", "<n>")
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
+def _scan_factory(window_s: int, min_repeats: int):
+    keep = max(1, min_repeats // 2)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        ts = pdf["epoch"].to_numpy()
+        turns = pdf["turn_idx"].to_numpy()
+        srcs = pdf["source"].to_numpy()
+        conv = pdf["conv_id"].iloc[0]
+        out = []
+        dq: list[int] = []  # indices into ts
+        for i in range(len(ts)):
+            dq.append(i)
+            lo = ts[i] - window_s
+            # evict age > window (keep age == window)
+            k = 0
+            while k < len(dq) and ts[dq[k]] < lo:
+                k += 1
+            if k:
+                dq = dq[k:]
+            c = len(dq)
+            if c >= min_repeats:
+                out.append(
+                    (
+                        conv,
+                        int(turns[i]),
+                        int(ts[dq[0]]),
+                        int(ts[dq[-1]]),
+                        float(c),
+                        srcs[i],
+                        f"Burst repetition detected: {c} repeats within {window_s}s",
+                    )
+                )
+                if c > min_repeats:
+                    dq = dq[-keep:]
+        return pd.DataFrame(
+            out,
+            columns=[
+                "conv_id", "turn_idx", "window_start", "window_end",
+                "score", "source", "description",
+            ],
+        )
+
+    return scan
+
+
+def burst_anomalies(parsed: DataFrame, cfg: BurstConfig = BurstConfig()) -> DataFrame:
+    df = with_epoch(parsed.filter(~F.col("malformed")))
+    key = F.concat_ws(
+        "|",
+        F.col("source"),
+        F.col("level_ord").cast("string"),
+        normalized_message(F.col("message")),
+    )
+    df = df.withColumn("burst_key", key).select(
+        "conv_id", "burst_key", "turn_idx", "epoch", "source"
+    )
+    scanned = df.groupBy("conv_id", "burst_key").applyInPandas(
+        _scan_factory(cfg.window_s, cfg.min_repeats), schema=_SCAN_SCHEMA
+    )
+    out = scanned.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("burst").alias("detector"),
+        F.lit(T_SEQ).alias("anomaly_type"),
+        F.lit(S_HIGH).alias("severity"),
+        F.timestamp_seconds("window_start").alias("window_start"),
+        F.timestamp_seconds("window_end").alias("window_end"),
+        F.col("score"),
+        F.col("source"),
+        F.col("description"),
+    )
+    return as_anomaly(out)

@@ -1,0 +1,81 @@
+"""J1-J3 broadcast-join enrichment + J4 rule evaluation.
+
+The reference's "lookups" are in-memory hash maps (level-name map
+LogParser.cpp:310-323, rule registry RuleBasedDetector.cpp:419-456); each
+becomes an explicit ``broadcast()`` hash join so no shuffle is ever paid for
+dimension data — at 100 TB the fact table never moves for these.
+
+Rules (F4-F6): KEYWORD/LEVEL/SOURCE predicates from the rules table are
+compiled into a single stacked boolean column per rule (crossJoin of a
+broadcast 2-row table would also work; compiling to columns keeps the stage
+inside whole-stage codegen). Faithful mode contributes ZERO routed rows —
+matchesToAnomalies returns {} in the reference
+(RuleBasedDetector.cpp:670-676) — but match counts are still observable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import (
+    DIM_ROLE_ROWS, DIM_ROLE_SCHEMA, DIM_SEVERITY_ROWS, DIM_SEVERITY_SCHEMA,
+    DIM_TOOL_ROWS, DIM_TOOL_SCHEMA, ROUTING_ROWS, ROUTING_SCHEMA, RULES_ROWS,
+    RULES_SCHEMA,
+)
+
+
+def dims(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        "dim_severity": spark.createDataFrame(DIM_SEVERITY_ROWS, DIM_SEVERITY_SCHEMA),
+        "dim_role": spark.createDataFrame(DIM_ROLE_ROWS, DIM_ROLE_SCHEMA),
+        "dim_tool": spark.createDataFrame(DIM_TOOL_ROWS, DIM_TOOL_SCHEMA),
+        "rules": spark.createDataFrame(RULES_ROWS, RULES_SCHEMA),
+        "routing": spark.createDataFrame(ROUTING_ROWS, ROUTING_SCHEMA),
+    }
+
+
+def enrich(parsed: DataFrame, d: dict[str, DataFrame]) -> DataFrame:
+    """Left broadcast joins onto the parsed turns (J1-J3)."""
+    out = (
+        parsed.join(F.broadcast(d["dim_severity"]), "level_ord", "left")
+        .join(F.broadcast(d["dim_role"]), "role", "left")
+        .join(F.broadcast(d["dim_tool"]), "tool", "left")
+    )
+    return out
+
+
+def rule_matches(parsed: DataFrame, rules: DataFrame) -> DataFrame:
+    """F4-F6 evaluated vectorized; returns (conv_id, turn_idx, rule_id) rows.
+
+    KEYWORD: upper(message) contains upper(condition)
+    LEVEL:   level_ord == int(condition)  (named levels never match,
+             RuleBasedDetector.cpp:573-582)
+    SOURCE:  upper(source) == upper(condition)
+    """
+    rows = rules.filter("enabled").collect()
+    match_cols = []
+    for r in rows:
+        if r.rule_type == "KEYWORD":
+            pred = F.upper(F.col("message")).contains(r.condition.upper())
+        elif r.rule_type == "LEVEL":
+            try:
+                pred = F.col("level_ord") == int(r.condition)
+            except ValueError:
+                pred = F.lit(False)
+        elif r.rule_type == "SOURCE":
+            pred = F.upper(F.col("source")) == r.condition.upper()
+        else:
+            # TIME_WINDOW/SEQUENCE/PATTERN/COMPOSITE are placeholders that
+            # always return false in the reference (RuleBasedDetector.cpp:637-667)
+            pred = F.lit(False)
+        match_cols.append(F.when(pred, F.lit(r.rule_id)))
+    if not match_cols:
+        return parsed.sparkSession.createDataFrame(
+            [], "conv_id STRING, turn_idx INT, rule_id INT"
+        )
+    fired = F.filter(F.array(*match_cols), lambda x: x.isNotNull())
+    return (
+        parsed.filter(~F.col("malformed"))
+        .select("conv_id", "turn_idx", F.explode(fired).alias("rule_id"))
+    )

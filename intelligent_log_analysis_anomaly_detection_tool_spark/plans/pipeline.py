@@ -1,0 +1,124 @@
+"""The full parse -> enrich -> route -> aggregate plan.
+
+Spark lifecycle of the reference's single-threaded loop (SURVEY.md §3.1):
+read -> parse (one Arrow pandas UDF) -> enrich (broadcast joins) -> detector
+branches (window exprs + one applyInPandas) -> unionByName -> routing join ->
+fan-out sinks; aggregates (minute pivot, level/source stats) are sibling
+branches over the same cached parsed frame — no second parse pass (the
+reference re-reads the file for entries.csv, main.cpp:536-537; we persist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.parse import parse_stage
+from ..operators.aggregates import level_stats, minute_stats, source_stats, totals
+from ..operators.detectors.burst import burst_anomalies
+from ..operators.detectors.common import S_LOW, T_OTHER, as_anomaly
+from ..operators.detectors.frequency import frequency_anomalies
+from ..operators.detectors.pattern import pattern_anomalies
+from ..operators.detectors.rare_ip import rare_ip_anomalies
+from ..operators.detectors.spike import spike_anomalies
+from ..operators.detectors.statistical import statistical_anomalies
+from ..operators.detectors.timewindow import timewindow_anomalies
+from ..operators.enrich import dims, enrich
+
+
+def parser_anomalies(parsed: DataFrame) -> DataFrame:
+    """F2: malformed line -> (Other, Low, score=1.0, source='parser',
+    'Malformed log line: <err>') (main.cpp:199-219). The reference stamps the
+    anomaly window with wall-clock now (nondeterministic); this engine leaves
+    the window NULL — documented divergence."""
+    df = parsed.filter(F.col("malformed"))
+    out = df.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("parser").alias("detector"),
+        F.lit(T_OTHER).alias("anomaly_type"),
+        F.lit(S_LOW).alias("severity"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.lit(None).cast("timestamp").alias("window_end"),
+        F.lit(1.0).alias("score"),
+        F.lit("parser").alias("source"),
+        F.concat(
+            F.lit("Malformed log line: "),
+            F.coalesce(F.col("error"), F.lit("parse failure")),
+        ).alias("description"),
+    )
+    return as_anomaly(out)
+
+
+def online_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Per-entry detector fires (rule stage contributes zero rows in faithful
+    mode, F9). Union order mirrors main.cpp:283-360."""
+    return (
+        parser_anomalies(parsed)
+        .unionByName(spike_anomalies(parsed, cfg.spike))
+        .unionByName(statistical_anomalies(parsed, cfg.statistical))
+        .unionByName(burst_anomalies(parsed, cfg.burst))
+        .unionByName(rare_ip_anomalies(parsed, cfg.ip))
+    )
+
+
+def offline_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """End-of-run analyzer anomalies (main.cpp:367-409)."""
+    return (
+        frequency_anomalies(parsed, cfg.frequency)
+        .unionByName(pattern_anomalies(parsed, cfg.pattern))
+        .unionByName(timewindow_anomalies(parsed, cfg.timewindow))
+    )
+
+
+def all_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    return online_anomalies(parsed, cfg).unionByName(offline_anomalies(parsed, cfg))
+
+
+def report_order(anomalies: DataFrame, limit: int | None = None) -> DataFrame:
+    """O1 anomaly ordering: severity desc, score desc, window_end desc,
+    description asc; then cap (JsonReporter.cpp:50-62, CsvReporter.cpp:44-53)."""
+    out = anomalies.orderBy(
+        F.desc("severity"), F.desc("score"), F.desc("window_end"), "description"
+    )
+    return out.limit(limit) if limit else out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    out_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Build (and optionally materialize) every branch of the DAG.
+
+    Returns the dict of logical DataFrames; when ``out_dir`` is given the
+    routed anomaly fan-out and the report sinks are also written (see
+    sinks.write_all for the physical layout).
+    """
+    d = dims(spark)
+    parsed = parse_stage(transcripts)
+    parsed = parsed.persist()
+
+    online = online_anomalies(parsed, cfg)
+    offline = offline_anomalies(parsed, cfg)
+    anomalies = online.unionByName(offline)
+
+    result = {
+        "parsed": parsed,
+        "enriched": enrich(parsed, d),
+        "online_anomalies": online,
+        "offline_anomalies": offline,
+        "anomalies": anomalies,
+        "minute_stats": minute_stats(parsed, online),
+        "level_stats": level_stats(parsed),
+        "source_stats": source_stats(parsed),
+        "totals": totals(source_stats(parsed)),
+        "dims": d,
+    }
+    if out_dir is not None:
+        from ..sinks import write_all
+
+        result["sink_counts"] = write_all(result, d["routing"], out_dir)
+    return result

@@ -1,0 +1,103 @@
+"""S3-S8 sinks: routed anomaly fan-out, per-turn entries, time series, reports.
+
+Physical layout under ``out_dir``:
+
+- ``parsed_turns/``        S7 entries sink (the per-turn text-equality
+                           invariant lives here): conv_id, turn_idx, ts_iso,
+                           level_name, source, message (main.cpp:525-584)
+- ``anomalies_routed/``    S5 fan-out: ONE pass, hive-partitioned by
+                           sink_name (J5 routing join) and severity — a
+                           directory per (detector-sink, severity) instead of
+                           N separate jobs
+- ``timeseries_minute/``   S6 per-minute pivot (main.cpp:500-523)
+- ``report_json/``         S4 top-100 anomalies by report order
+- ``report_csv/``          S5 top-1000 anomalies as CSV
+- ``run_metrics.json``     S8 benchmark counters (main.cpp:586-608)
+
+Storage backend: parquet directories (atomic-enough via Spark's commit
+protocol). On a cluster with Iceberg jars available the same writes map to
+``df.writeTo(table).append()`` — the layout above mirrors an Iceberg
+partition spec (sink_name, severity), so switching backends is a writer-only
+change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LEVEL_NAMES = ["TRACE", "DEBUG", "INFO", "WARN", "ERROR", "CRITICAL", "UNKNOWN"]
+
+
+def parsed_turns_view(parsed: DataFrame) -> DataFrame:
+    """S7: the entries sink projection (ISO timestamp, level name, source,
+    message) — per-turn equality vs the oracle is asserted on this frame."""
+    level_name = F.element_at(
+        F.array(*[F.lit(x) for x in LEVEL_NAMES]), F.col("level_ord") + 1
+    )
+    return parsed.filter(~F.col("malformed")).select(
+        "conv_id",
+        "turn_idx",
+        F.date_format("ts_parsed", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+        level_name.alias("level_name"),
+        "source",
+        "message",
+    )
+
+
+def route_anomalies(anomalies: DataFrame, routing: DataFrame) -> DataFrame:
+    """J5: broadcast routing join; unmatched detectors fall back to a default
+    sink so no anomaly is ever dropped by routing."""
+    return anomalies.join(F.broadcast(routing), "detector", "left").withColumn(
+        "sink_name", F.coalesce(F.col("sink_name"), F.lit("sink_other"))
+    )
+
+
+def write_all(result: dict, routing: DataFrame, out_dir: str) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+
+    parsed = result["parsed"]
+    turns = parsed_turns_view(parsed)
+    turns.write.mode("overwrite").parquet(f"{out_dir}/parsed_turns")
+
+    routed = route_anomalies(result["anomalies"], routing)
+    routed.write.mode("overwrite").partitionBy("sink_name", "severity").parquet(
+        f"{out_dir}/anomalies_routed"
+    )
+
+    result["minute_stats"].write.mode("overwrite").parquet(
+        f"{out_dir}/timeseries_minute"
+    )
+
+    from .plans.pipeline import report_order
+
+    report_order(result["anomalies"], 100).write.mode("overwrite").json(
+        f"{out_dir}/report_json"
+    )
+    report_order(result["anomalies"], 1000).write.mode("overwrite").option(
+        "header", True
+    ).csv(f"{out_dir}/report_csv")
+
+    # per-sink counts (the "per-sink aggregate counts" correctness surface)
+    sink_counts = {
+        r["sink_name"]: r["n"]
+        for r in routed.groupBy("sink_name").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    parsed_n = parsed.filter(~F.col("malformed")).count()
+    malformed_n = parsed.filter(F.col("malformed")).count()
+    metrics = {
+        "run_time_iso": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()),
+        "parsed": parsed_n,
+        "malformed": malformed_n,
+        "emitted_anomalies": sum(sink_counts.values()),
+        "sink_counts": sink_counts,
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
+    with open(f"{out_dir}/run_metrics.json", "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    return metrics
