@@ -1,38 +1,475 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the engine's flagship parse->enrich->route->aggregate pipeline
+over a transcript rendering of the sf0.001 events table. ``queries`` /
+``oracle_sql`` cover the SQL-expressible operators from SURVEY.md §2 (parse
+projections, frequency aggregates, trailing-window detector math, anchor
+buckets, ordering/top-k, dedup/text ops) side-by-side with DuckDB.
+
+Column names are aliased identically in both engines; doubles are rounded
+in-query on both sides so the driver's value-hash comparison is stable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _utc(spark: SparkSession) -> None:
+    # the driver may build its own session; all oracle comparisons assume UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the events table into the engine's transcript input shape
+    (conv_id, turn_idx, role, text, tool, ts) with reference-style log lines
+    so the full parse->detect pipeline can run on driver-provided data."""
+    ev = _events(spark, sf_dir)
+    level = (
+        F.when(F.col("event_type") == "error", "ERROR")
+        .when(F.col("event_type") == "purchase", "WARN")
+        .otherwise("INFO")
+    )
+    text = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" ["), level, F.lit("] events-svc - type="),
+        F.col("event_type"),
+        F.lit(" value="), F.col("value").cast("string"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+            (F.pmod(F.col("event_id"), 4) + 1).cast("int"),
+        ).alias("role"),
+        text.alias("text"),
+        F.lit("none").alias("tool"),
+        F.col("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline (parse UDF -> detectors -> minute pivot) on
+    sf0.001; driver checks rows>0 and a stable schema."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
+        minute_stats,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
+        online_anomalies,
+    )
+
+    tr = events_as_transcripts(spark, SF_DEFAULT)
+    parsed = parse_stage(tr)
+    return minute_stats(parsed, online_anomalies(parsed)).orderBy("minute")
+
+
+# ---------------------------------------------------------------------------
+# paired queries / oracles
+# ---------------------------------------------------------------------------
+
+def _es():
+    # epoch seconds (truncated) — requires an active session, hence lazy
+    return F.unix_timestamp(F.col("ts")).alias("es")
+
+
+def q_minute_pivot(spark, sf_dir):
+    """A1: per-minute level pivot (events as the level-bearing stream)."""
+    _utc(spark)
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col("event_type") == "error").alias("errors"),
+            F.count_if(F.col("event_type") == "purchase").alias("purchases"),
+            F.count_if(F.col("event_type") == "click").alias("clicks"),
+        )
+    )
+
+
+SQL_MINUTE_PIVOT = """
+SELECT date_trunc('minute', ts) AS minute,
+       count(*) AS total,
+       count(*) FILTER (WHERE event_type = 'error') AS errors,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       count(*) FILTER (WHERE event_type = 'click') AS clicks
+FROM events GROUP BY 1
+"""
+
+
+def q_type_counts(spark, sf_dir):
+    """A2/A5: per-level (event_type) counts."""
+    _utc(spark)
+    return _events(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_TYPE_COUNTS = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
+
+def q_user_stats(spark, sf_dir):
+    """A3/A4: per-source totals + error counts + rounded value sum."""
+    _utc(spark)
+    return _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count_if(F.col("event_type") == "error").alias("error_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+SQL_USER_STATS = """
+SELECT user_id, count(*) AS total_events,
+       count(*) FILTER (WHERE event_type = 'error') AS error_events,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1
+"""
+
+
+def q_top_users(spark, sf_dir):
+    """A6/O2: top-10 sources by count, deterministic tiebreak."""
+    _utc(spark)
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
+
+
+SQL_TOP_USERS = """
+SELECT user_id, count(*) AS n FROM events
+GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+def q_rare_pairs(spark, sf_dir):
+    """A8: rare-key detection (count below threshold)."""
+    _utc(spark)
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 5)
+    )
+
+
+SQL_RARE_PAIRS = """
+SELECT user_id, event_type, count(*) AS n FROM events
+GROUP BY 1, 2 HAVING count(*) < 5
+"""
+
+
+def q_spike_windows(spark, sf_dir):
+    """W1: trailing 60s/600s counts per source via the file-order-rank minus
+    evicted-rows identity (same construction as the spike detector)."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("event_id", "user_id", _es())
+    w_ord = Window.partitionBy("user_id").orderBy("es", "event_id")
+    w60 = (
+        Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(Window.unboundedPreceding, -61)
+    )
+    w600 = (
+        Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(Window.unboundedPreceding, -601)
+    )
+    rn = F.row_number().over(w_ord)
+    cur = rn - F.count(F.lit(1)).over(w60)
+    base = rn - F.count(F.lit(1)).over(w600)
+    return ev.select(
+        "event_id",
+        "user_id",
+        cur.alias("cur_60s"),
+        base.alias("base_600s"),
+        F.round((cur / 60.0) / (base / 600.0), 4).alias("spike_ratio"),
+    )
+
+
+SQL_SPIKE_WINDOWS = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), w AS (
+  SELECT event_id, user_id, es,
+         row_number() OVER (PARTITION BY user_id ORDER BY es, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id ORDER BY es
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 61 PRECEDING) AS old60,
+         count(*) OVER (PARTITION BY user_id ORDER BY es
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 601 PRECEDING) AS old600
+  FROM e
+)
+SELECT event_id, user_id, rn - old60 AS cur_60s, rn - old600 AS base_600s,
+       round(((rn - old60) / 60.0) / ((rn - old600) / 600.0), 4) AS spike_ratio
+FROM w
+"""
+
+
+def q_zscore_prefix(spark, sf_dir):
+    """W2: prefix mean/stddev z-score (Welford equivalence) with warm-up."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = F.row_number().over(w_ord)
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.when((cnt >= 10) & (sd > 0), (F.col("value") - mean) / sd).otherwise(0.0)
+    return ev.select(
+        "event_id", "user_id", F.round(z, 3).alias("zscore")
+    )
+
+
+SQL_ZSCORE_PREFIX = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cnt,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean,
+         stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sd
+  FROM events
+)
+SELECT event_id, user_id,
+       round(CASE WHEN cnt >= 10 AND sd > 0 THEN (value - mean) / sd ELSE 0.0 END, 3) AS zscore
+FROM w
+"""
+
+
+def q_first_n_per_key(spark, sf_dir):
+    """W4: first-5-occurrences-per-key via row_number."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("occurrence", F.row_number().over(w))
+        .filter(F.col("occurrence") <= 5)
+        .select("event_id", "user_id", "event_type", "occurrence")
+    )
+
+
+SQL_FIRST_N_PER_KEY = """
+SELECT event_id, user_id, event_type, occurrence FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS occurrence
+  FROM events
+) WHERE occurrence <= 5
+"""
+
+
+def q_anchor_buckets(spark, sf_dir):
+    """W5: first-event-aligned tumbling buckets, last-13 filter."""
+    _utc(spark)
+    ev = _events(spark, sf_dir).select("user_id", "event_type", _es())
+    w_u = Window.partitionBy("user_id")
+    ev = ev.withColumn("anchor", F.min("es").over(w_u)).withColumn(
+        "bucket", F.floor((F.col("es") - F.col("anchor")) / 60)
+    )
+    agg = ev.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(F.col("event_type") == "error").alias("errors"),
+    )
+    w_m = Window.partitionBy("user_id")
+    return agg.withColumn("max_bucket", F.max("bucket").over(w_m)).filter(
+        F.col("bucket") >= F.col("max_bucket") - 12
+    ).select("user_id", "bucket", "total", "errors")
+
+
+SQL_ANCHOR_BUCKETS = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id) AS anchor
+  FROM events
+), b AS (
+  SELECT user_id, CAST(floor((es - anchor) / 60) AS BIGINT) AS bucket,
+         count(*) AS total,
+         count(*) FILTER (WHERE event_type = 'error') AS errors
+  FROM e GROUP BY 1, 2
+)
+SELECT user_id, bucket, total, errors FROM (
+  SELECT *, max(bucket) OVER (PARTITION BY user_id) AS max_bucket FROM b
+) WHERE bucket >= max_bucket - 12
+"""
+
+
+def q_report_order(spark, sf_dir):
+    """O1: report ordering + cap."""
+    _utc(spark)
+    return (
+        _events(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.desc("event_id"))
+        .limit(100)
+    )
+
+
+SQL_REPORT_ORDER = """
+SELECT event_id, event_type, value FROM events
+ORDER BY value DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_bigram_sequences(spark, sf_dir):
+    """A10-lite: adjacent event-type transition counts per source (the full
+    2..10-gram overlap-recount semantics are pytest-verified vs the python
+    oracle; the SQL oracle covers the bigram core)."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.withColumn("prev", prev)
+        .filter(F.col("prev").isNotNull())
+        .select(F.concat(F.col("prev"), F.lit("->"), F.col("event_type")).alias("seq_sig"))
+        .groupBy("seq_sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_BIGRAM_SEQUENCES = """
+WITH w AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev || '->' || event_type AS seq_sig, count(*) AS n
+FROM w WHERE prev IS NOT NULL GROUP BY 1
+"""
+
+
+def q_burst_normalize(spark, sf_dir):
+    """P10: burst message normalization (<id>/<n>/whitespace collapse) +
+    grouped repeat counts, on the documents corpus."""
+    _utc(spark)
+    d = _documents(spark, sf_dir)
+    s = F.lower(F.col("text"))
+    s = F.regexp_replace(s, r"[0-9a-f]{8,}", "<id>")
+    s = F.regexp_replace(s, r"\b\d+\b", "<n>")
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return d.select(s.alias("norm")).groupBy("norm").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_BURST_NORMALIZE = """
+SELECT trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(lower(text), '[0-9a-f]{8,}', '<id>', 'g'),
+           '\\b\\d+\\b', '<n>', 'g'),
+         '\\s+', ' ', 'g')) AS norm,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_message_hash_top(spark, sf_dir):
+    """P11+A6: first-3-token message hash, top-10 by count."""
+    _utc(spark)
+    d = _documents(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    h = F.upper(F.array_join(F.slice(toks, 1, 3), " "))
+    return (
+        d.select(h.alias("msg_hash"))
+        .groupBy("msg_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "msg_hash")
+        .limit(10)
+    )
+
+
+SQL_MESSAGE_HASH_TOP = """
+SELECT upper(array_to_string(
+         (list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))[1:3],
+         ' ')) AS msg_hash,
+       count(*) AS n
+FROM documents GROUP BY 1 ORDER BY n DESC, msg_hash LIMIT 10
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 over normalized text, group -> survivor + dup count."""
+    _utc(spark)
+    d = _documents(spark, sf_dir)
+    h = F.md5(F.lower(F.col("text")))
+    return d.select(h.alias("text_hash"), "doc_id").groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("survivor_doc_id"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(text)) AS text_hash, count(*) AS n,
+       min(doc_id) AS survivor_doc_id
+FROM documents GROUP BY 1
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "minute_pivot": q_minute_pivot,
+        "type_counts": q_type_counts,
+        "user_stats": q_user_stats,
+        "top_users": q_top_users,
+        "rare_pairs": q_rare_pairs,
+        "spike_windows": q_spike_windows,
+        "zscore_prefix": q_zscore_prefix,
+        "first_n_per_key": q_first_n_per_key,
+        "anchor_buckets": q_anchor_buckets,
+        "report_order": q_report_order,
+        "bigram_sequences": q_bigram_sequences,
+        "burst_normalize": q_burst_normalize,
+        "message_hash_top": q_message_hash_top,
+        "dedup_exact": q_dedup_exact,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "minute_pivot": SQL_MINUTE_PIVOT,
+        "type_counts": SQL_TYPE_COUNTS,
+        "user_stats": SQL_USER_STATS,
+        "top_users": SQL_TOP_USERS,
+        "rare_pairs": SQL_RARE_PAIRS,
+        "spike_windows": SQL_SPIKE_WINDOWS,
+        "zscore_prefix": SQL_ZSCORE_PREFIX,
+        "first_n_per_key": SQL_FIRST_N_PER_KEY,
+        "anchor_buckets": SQL_ANCHOR_BUCKETS,
+        "report_order": SQL_REPORT_ORDER,
+        "bigram_sequences": SQL_BIGRAM_SEQUENCES,
+        "burst_normalize": SQL_BURST_NORMALIZE,
+        "message_hash_top": SQL_MESSAGE_HASH_TOP,
+        "dedup_exact": SQL_DEDUP_EXACT,
+    }

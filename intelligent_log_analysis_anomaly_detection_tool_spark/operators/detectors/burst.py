@@ -108,6 +108,17 @@ def burst_anomalies(parsed: DataFrame, cfg: BurstConfig = BurstConfig()) -> Data
     df = df.withColumn("burst_key", key).select(
         "conv_id", "burst_key", "turn_idx", "epoch", "source"
     )
+    # Scale guard: a key with fewer than min_repeats TOTAL rows can never
+    # reach min_repeats inside any 60s window, so it can never fire. The
+    # cheap count-window prunes the vast majority of (conv, key) groups
+    # before the (python-side) applyInPandas scan — the shuffle partitioning
+    # it introduces is the same one applyInPandas needs, so no extra exchange.
+    from pyspark.sql import Window
+
+    w_key = Window.partitionBy("conv_id", "burst_key")
+    df = df.withColumn("key_n", F.count(F.lit(1)).over(w_key)).filter(
+        F.col("key_n") >= cfg.min_repeats
+    )
     scanned = df.groupBy("conv_id", "burst_key").applyInPandas(
         _scan_factory(cfg.window_s, cfg.min_repeats), schema=_SCAN_SCHEMA
     )
