@@ -437,6 +437,352 @@ FROM documents GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# wave 2: training-data pipeline operators (dedup / similarity / text / media)
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_DUCK_TOKS_L = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: token counts / distinct / avg length."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.textstats import (
+        token_stats,
+    )
+
+    return token_stats(_documents(spark, sf_dir))
+
+
+SQL_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       length(text) AS n_chars,
+       round(list_sum(list_transform(toks, x -> length(x)))
+             / greatest(len(toks), 1), 4) AS avg_token_len
+FROM t
+"""
+
+_EN_STOPS = "('the','and','of','to','a','in','is','for')"
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring: stopword/distinct ratios + composite score."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.textstats import (
+        quality_score,
+    )
+
+    return quality_score(_documents(spark, sf_dir))
+
+
+SQL_QUALITY_SCORES = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), r AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> lower(x) IN {_EN_STOPS}))
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
+         len(list_distinct(toks))
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS distinct_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round(least(1.0, stop_ratio * 2.0) * 0.5 + distinct_ratio * 0.5, 4)
+         AS quality_score
+FROM r
+"""
+
+_LANG_MARKERS = {
+    "de": "('der','die','das','und','ein')",
+    "en": "('the','and','of','to','a','in','is','for')",
+    "es": "('el','la','de','que','y','los')",
+    "fr": "('le','la','les','des','et','un')",
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-marker scores + argmax."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.textstats import (
+        lang_id,
+    )
+
+    return lang_id(_documents(spark, sf_dir))
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS_L} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN {_LANG_MARKERS['de']})) AS score_de,
+         len(list_filter(toks, x -> x IN {_LANG_MARKERS['en']})) AS score_en,
+         len(list_filter(toks, x -> x IN {_LANG_MARKERS['es']})) AS score_es,
+         len(list_filter(toks, x -> x IN {_LANG_MARKERS['fr']})) AS score_fr
+  FROM t
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE WHEN score_de >= score_en AND score_de >= score_es
+                 AND score_de >= score_fr THEN 'de'
+            WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (word-or-punct regex)."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.textstats import (
+        bpe_token_count,
+    )
+
+    return bpe_token_count(_documents(spark, sf_dir))
+
+
+SQL_BPE_TOKEN_COUNT = r"""
+SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Canonical fingerprint: md5 over sorted distinct lowered tokens."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.textstats import (
+        fingerprint,
+    )
+
+    return fingerprint(_documents(spark, sf_dir))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS_L})), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+_DUCK_SHINGLES2 = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_distinct(list_transform(range(1, len(toks)), "
+    "i -> array_to_string(toks[i:i+1], ' '))) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Near-dup: exact 2-gram Jaccard over pairs sharing a shingle."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        _documents(spark, sf_dir), shingle_n=2, threshold=0.05
+    )
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES2}) AS sh FROM t
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= 0.05
+"""
+
+_DUCK_SHINGLES3 = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(toks[i:i+2], ' '))) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash: 4 salted min-hashes per doc over 3-word shingles."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    return minhash_signatures(_documents(spark, sf_dir), k=4, shingle_n=3)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES3}) AS sh FROM t
+)
+SELECT doc_id,
+       min(md5(sh || '#0')) AS mh_0,
+       min(md5(sh || '#1')) AS mh_1,
+       min(md5(sh || '#2')) AS mh_2,
+       min(md5(sh || '#3')) AS mh_3
+FROM sh GROUP BY 1
+"""
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (2 bands x 2 rows)."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    return lsh_candidate_pairs(
+        _documents(spark, sf_dir), k=4, rows_per_band=2, shingle_n=3
+    )
+
+
+SQL_LSH_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES3}) AS sh FROM t
+), sig AS (
+  SELECT doc_id,
+         min(md5(sh || '#0')) AS mh_0, min(md5(sh || '#1')) AS mh_1,
+         min(md5(sh || '#2')) AS mh_2, min(md5(sh || '#3')) AS mh_3
+  FROM sh GROUP BY 1
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh_0 || '|' || mh_1) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(mh_2 || '|' || mh_3) AS band_hash FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash16(spark, sf_dir):
+    """SimHash (16-bit portable construction) per document."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        simhash16,
+    )
+
+    return simhash16(_documents(spark, sf_dir))
+
+
+def _simhash16_sql() -> str:
+    bit_cols = ",\n         ".join(
+        f"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, md5(unnest(toks)) AS h FROM t
+), bits AS (
+  SELECT doc_id,
+         {bit_cols}
+  FROM tok GROUP BY 1
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """ANN baseline: exact brute-force cosine top-10 vs vec_id=0."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    return cosine_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=10)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload + typed metadata checks."""
+    _utc(spark)
+    d = _documents(spark, sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+SQL_BINARY_META = """
+SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """ANN scale path: IVF cell-pruned approximate top-10 (Spark-only —
+    recall vs the brute-force baseline is pytest-verified; driver records a
+    rows-only check)."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    return ivf_topk(
+        _embeddings(spark, sf_dir), query_vec_id=0, k=10, n_centroids=8, nprobe=2
+    )
+
+
+def q_simhash64_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs via block-permutation Hamming join
+    (Spark-only: xxhash64-based production fingerprint)."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        simhash16,
+    )
+
+    return hamming_near_dup_pairs(
+        simhash16(_documents(spark, sf_dir)), max_hamming=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minute_pivot": q_minute_pivot,
@@ -453,6 +799,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_normalize": q_burst_normalize,
         "message_hash_top": q_message_hash_top,
         "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "bpe_token_count": q_bpe_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash16": q_simhash16,
+        "embedding_topk": q_embedding_topk,
+        "binary_meta": q_binary_meta,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "simhash_near_dup_pairs": q_simhash64_pairs,
     }
 
 
@@ -472,4 +831,17 @@ def oracle_sql() -> dict[str, str]:
         "burst_normalize": SQL_BURST_NORMALIZE,
         "message_hash_top": SQL_MESSAGE_HASH_TOP,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_scores": SQL_QUALITY_SCORES,
+        "lang_id": SQL_LANG_ID,
+        "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "minhash_signatures": SQL_MINHASH_SIGNATURES,
+        "lsh_pairs": SQL_LSH_PAIRS,
+        "simhash16": _simhash16_sql(),
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "binary_meta": SQL_BINARY_META,
+        # ann_ivf_topk / simhash_near_dup_pairs: intentionally no SQL oracle
+        # (approximate / engine-native hashing); driver records rows-only.
     }

@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set (it has no dedup), these are the
+first-class data-pipeline citizens a 100 TB corpus needs. All hashes are
+md5-hex (portable: identical in Spark, DuckDB, Python) so every operator is
+oracle-checkable; minhash order comparisons are on fixed-length hex strings,
+which sort identically everywhere.
+
+Scale notes:
+- exact dedup is one hash-shuffle groupBy (map-side partial agg collapses
+  duplicates before the exchange)
+- minhash/LSH: k salted min-hashes per doc (k independent min-aggregations
+  over the exploded shingle set), then band-hash equi-join for candidate
+  pairs — the join is on band hash, never on raw text, so shuffle width is
+  O(docs x bands), not O(text)
+- n-gram jaccard joins only docs sharing at least one shingle (explode +
+  equi-join on shingle), never the full cross product
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column (array<string>)."""
+    toks = ws_tokens(col)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(sh)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Exact duplicate groups: (text_hash, n, survivor id). Survivor = min id."""
+    base = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        docs.select(F.md5(base).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias(f"survivor_{id_col}"))
+    )
+
+
+def dedup_keep_first(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Materialized dedup: keep the minimum-id row per exact text hash."""
+    h = F.md5(F.lower(F.col(text_col)))
+    w_min = exact_dedup(docs, text_col, id_col)
+    return (
+        docs.withColumn("text_hash", h)
+        .join(w_min, "text_hash")
+        .filter(F.col(id_col) == F.col(f"survivor_{id_col}"))
+        .drop("text_hash", "n", f"survivor_{id_col}")
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 4,
+                       shingle_n: int = 3) -> DataFrame:
+    """k salted min-hashes per document (columns mh_0..mh_{k-1}).
+
+    minhash_i(doc) = min over shingles s of md5(s || '#' || i); fixed-width
+    hex strings make the min identical across engines.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4, rows_per_band: int = 2,
+                        shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs: band hash = md5 of the band's minhashes;
+    docs sharing any band bucket become a candidate pair (a < b)."""
+    sig = minhash_signatures(docs, text_col, id_col, k, shingle_n)
+    n_bands = k // rows_per_band
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh_{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+        & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    )
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 2,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle."""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+    return out
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash16(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per document, engine-portable construction:
+    bit_j(token) = parity of the (j+1)-th hex nibble of md5(token);
+    fingerprint bit j is set iff sum over tokens of (2*bit_j - 1) > 0.
+    Tokens count with multiplicity. The 16-bit md5-nibble width keeps the
+    construction expressible in BOTH Spark and DuckDB SQL for the oracle
+    check; the production-width variant is simhash64 (xxhash64, Spark-only).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(
+                ((F.instr(F.lit(_HEX), F.substring(F.col("h"), j + 1, 1)) - 1) % 2)
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    g = toks.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return g.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash (production variant): per-token xxhash64 bit-majority.
+    Spark-only (xxhash64 is engine-native); verified against a python
+    reference implementation in pytest rather than DuckDB."""
+    toks = docs.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    g = toks.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(64):
+        term = F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return g.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming_near_dup_pairs(sim: DataFrame, id_col: str = "doc_id",
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance <= k, using the standard
+    block-permutation trick: split the fingerprint into (k+1) blocks; any
+    pair within distance k agrees on at least one block, so candidate pairs
+    come from equi-joins on block values (no cross product)."""
+    nblocks = max_hamming + 1
+    width = 16 // nblocks if nblocks <= 16 else 1
+    blocks = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", dist).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  dot product folds inside a single JVM expression (``aggregate(zip_with)``),
+  index-order deterministic, no UDF, no explode.
+- ``ivf_topk``: the scale path — IVF-style coarse quantization: assign every
+  vector to its nearest of C centroids (broadcast join + argmin), search only
+  the query's cell (optionally nprobe > 1 cells). At 100 TB the cell
+  assignment is a bucketed/partitioned layout; queries touch 1/C of the data.
+
+Cosine is computed in double precision; ties broken by vec_id for
+deterministic top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k against the vector with ``query_vec_id``."""
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("q_vec")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def assign_cells(emb: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (broadcast argmin)."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine_similarity(F.col(vec_col), F.col("c_vec")).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), "centroid_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_centroids: int = 8,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: search only the query's nprobe nearest cells.
+
+    Centroids are the first ``n_centroids`` vectors (deterministic stand-in
+    for a k-means pass; the operator shape — assign, prune, rescore — is what
+    matters at scale)."""
+    centroids = emb.filter(F.col(id_col) < n_centroids)
+    cells = assign_cells(emb, centroids, id_col, vec_col)
+
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    probe = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            cosine_similarity(F.col("c_vec"), F.col("q_vec")).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    candidates = cells.join(F.broadcast(probe), "centroid_id").filter(
+        F.col(id_col) != query_vec_id
+    )
+    scored = candidates.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("q_vec")), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
