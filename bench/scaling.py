@@ -1,0 +1,117 @@
+"""Scaling-efficiency bench: the same pipeline at two parallelism levels.
+
+The north rule's two-cluster-size criterion (N vs 4N executors, efficiency
+>= 0.8) cannot use a real cluster in this sandbox; following BASELINE.md we
+evidence it by running the identical job on the identical parquet input at
+local[8] and local[32] and reporting throughput at both plus
+efficiency = (thr_32 / thr_8) / 4.
+
+Each measurement runs in its OWN subprocess (fresh JVM) so neither JIT warmup
+nor memory state leaks between parallelism levels.
+
+Usage:
+  python bench/scaling.py                 # orchestrates both runs + report
+  python bench/scaling.py --run 8 <dir>   # single measurement (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+INPUT_DIR = os.environ.get("SPARK_GRAFT_BENCH_INPUT", "/tmp/bench_transcripts")
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+SEED = 42
+
+
+def _generate_input() -> None:
+    from intelligent_log_analysis_anomaly_detection_tool_spark.session import get_spark
+    from intelligent_log_analysis_anomaly_detection_tool_spark.synth import synth_spark
+
+    spark = get_spark(master="local[32]", app_name="bench-gen",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = synth_spark(spark, SEED, N_CONVS, partitions=256)
+    df.write.mode("overwrite").parquet(INPUT_DIR)
+    n = spark.read.parquet(INPUT_DIR).count()
+    print(f"generated {n} rows -> {INPUT_DIR}", file=sys.stderr)
+    spark.stop()
+
+
+def _measure(cpus: int) -> dict:
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
+        minute_stats,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
+        offline_anomalies,
+        online_anomalies,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    tr = spark.read.parquet(INPUT_DIR)
+    rows = tr.count()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    t0 = time.time()
+    parsed = parse_stage(tr).persist()
+    parsed.count()
+    online = online_anomalies(parsed).persist()
+    online.count()
+    noop(offline_anomalies(parsed))
+    noop(minute_stats(parsed, online))
+    wall = time.time() - t0
+    spark.stop()
+    return {"cpus": cpus, "rows": rows, "wall_sec": round(wall, 2),
+            "turns_per_sec": round(rows / wall, 1)}
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--run":
+        print(json.dumps(_measure(int(sys.argv[2]))))
+        return
+
+    if not os.path.isdir(INPUT_DIR):
+        _generate_input()
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        if out.returncode != 0:
+            print(out.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(f"bench run cpus={cpus} failed")
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(json.dumps(results[cpus]), file=sys.stderr)
+
+    thr8 = results[8]["turns_per_sec"]
+    thr32 = results[32]["turns_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    report = {
+        "metric": "scaling_efficiency_local8_to_local32",
+        "rows": results[32]["rows"],
+        "local8": results[8],
+        "local32": results[32],
+        "efficiency": round(eff, 3),
+        "pass_0.8": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -221,9 +221,10 @@ def parse_text_frame(text: pd.Series) -> pd.DataFrame:
     )
 
 
-@pandas_udf(PARSED_STRUCT)
-def parse_udf(text: pd.Series) -> pd.DataFrame:
-    return parse_text_frame(text)
+def parse_udf():
+    """Build the Arrow-batched parse UDF (lazy: pandas_udf registration
+    needs an active SparkSession in Spark 4)."""
+    return pandas_udf(parse_text_frame, PARSED_STRUCT)
 
 
 def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -234,7 +235,7 @@ def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     carries them.
     """
     out = df.filter(F.length(F.col(text_col)) > 0)
-    out = out.withColumn("_p", parse_udf(F.col(text_col)))
+    out = out.withColumn("_p", parse_udf()(F.col(text_col)))
     for f in PARSED_STRUCT.fields:
         out = out.withColumn(f.name, F.col(f"_p.{f.name}"))
     return out.drop("_p")

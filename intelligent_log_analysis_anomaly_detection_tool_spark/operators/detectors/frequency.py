@@ -39,13 +39,16 @@ def message_hash(col: Column, k: int = 3) -> Column:
     return F.when(F.size(toks) == 0, "EMPTY").otherwise(joined)
 
 
-@pandas_udf("string")
-def _fmt_spike(source: pd.Series, count: pd.Series, avg: pd.Series) -> pd.Series:
-    return pd.Series(
-        [f"Source '{s}' spike: {int(c)} events ({c / a:.6g}x average)"
-         for s, c, a in zip(source, count, avg)],
-        index=source.index,
-    )
+def _fmt_spike():
+    # lazy: pandas_udf registration needs an active session (Spark 4)
+    def fmt(source: pd.Series, count: pd.Series, avg: pd.Series) -> pd.Series:
+        return pd.Series(
+            [f"Source '{s}' spike: {int(c)} events ({c / a:.6g}x average)"
+             for s, c, a in zip(source, count, avg)],
+            index=source.index,
+        )
+
+    return pandas_udf(fmt, "string")
 
 
 def _conv_time_range(parsed: DataFrame) -> DataFrame:
@@ -84,7 +87,7 @@ def frequency_anomalies(
             F.col("max_ts").alias("window_end"),
             F.lit(1.0).alias("score"),
             F.lit(None).cast("string").alias("source"),
-            _fmt_spike(F.col("source"), F.col("n"), F.col("avg")).alias("description"),
+            _fmt_spike()(F.col("source"), F.col("n"), F.col("avg")).alias("description"),
         )
     )
 

@@ -33,16 +33,20 @@ from .common import (
 )
 
 
-@pandas_udf("string")
-def _fmt(source: pd.Series, z: pd.Series, mean: pd.Series, sd: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            f"Statistical anomaly detected (Z={zz:.2f}): {s} event rate "
-            f"deviation {abs(zz):.2f}σ from mean μ={m:.1f} σ={d:.1f}"
-            for s, zz, m, d in zip(source, z, mean, sd)
-        ],
-        index=source.index,
-    )
+def _fmt():
+    # lazy: pandas_udf registration needs an active session (Spark 4)
+    def fmt(source: pd.Series, z: pd.Series, mean: pd.Series,
+            sd: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                f"Statistical anomaly detected (Z={zz:.2f}): {s} event rate "
+                f"deviation {abs(zz):.2f}σ from mean μ={m:.1f} σ={d:.1f}"
+                for s, zz, m, d in zip(source, z, mean, sd)
+            ],
+            index=source.index,
+        )
+
+    return pandas_udf(fmt, "string")
 
 
 def statistical_anomalies(
@@ -101,7 +105,7 @@ def statistical_anomalies(
         F.col("ts_parsed").alias("window_end"),
         F.col("z").alias("score"),
         F.col("source"),
-        _fmt(F.col("source"), F.col("z"), F.col("mean"), F.col("sd")).alias(
+        _fmt()(F.col("source"), F.col("z"), F.col("mean"), F.col("sd")).alias(
             "description"
         ),
     )

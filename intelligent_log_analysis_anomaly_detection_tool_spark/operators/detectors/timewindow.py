@@ -32,15 +32,18 @@ from ...config import TimeWindowConfig
 from .common import S_HIGH, S_LOW, S_MED, T_FREQ_SPIKE, as_anomaly, with_epoch
 
 
-@pandas_udf("string")
-def _fmt_error_spike(rate: pd.Series, start: pd.Series, end: pd.Series) -> pd.Series:
-    s = pd.to_datetime(start, unit="s").dt.strftime("%H:%M:%S")
-    e = pd.to_datetime(end, unit="s").dt.strftime("%H:%M:%S")
-    return pd.Series(
-        [f"Error spike: {r * 100:.1f}% errors in [{a}-{b}]"
-         for r, a, b in zip(rate, s, e)],
-        index=rate.index,
-    )
+def _fmt_error_spike():
+    # lazy: pandas_udf registration needs an active session (Spark 4)
+    def fmt(rate: pd.Series, start: pd.Series, end: pd.Series) -> pd.Series:
+        s = pd.to_datetime(start, unit="s").dt.strftime("%H:%M:%S")
+        e = pd.to_datetime(end, unit="s").dt.strftime("%H:%M:%S")
+        return pd.Series(
+            [f"Error spike: {r * 100:.1f}% errors in [{a}-{b}]"
+             for r, a, b in zip(rate, s, e)],
+            index=rate.index,
+        )
+
+    return pandas_udf(fmt, "string")
 
 
 def timewindow_anomalies(
@@ -77,7 +80,7 @@ def timewindow_anomalies(
         F.timestamp_seconds("w_start").alias("window_start"),
         F.timestamp_seconds("w_end").alias("window_end"),
         F.lit(None).cast("string").alias("source"),
-        _fmt_error_spike(rate, F.col("w_start"), F.col("w_end")).alias("description"),
+        _fmt_error_spike()(rate, F.col("w_start"), F.col("w_end")).alias("description"),
     )
     burst = agg.filter(F.col("total") > cfg.burst_threshold).select(
         "conv_id",
