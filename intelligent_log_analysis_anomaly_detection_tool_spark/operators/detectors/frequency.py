@@ -76,7 +76,7 @@ def frequency_anomalies(
     spikes = (
         per_source.withColumn("avg", avg)
         .filter((F.col("avg") > 0.0) & (F.col("n") > F.col("avg") * cfg.spike_multiplier))
-        .join(rng, "conv_id")
+        .join(F.broadcast(rng), "conv_id")
         .select(
             "conv_id",
             F.lit(None).cast("int").alias("turn_idx"),
@@ -97,7 +97,7 @@ def frequency_anomalies(
         .groupBy("conv_id", "msg_hash")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") < cfg.min_occurrences)
-        .join(rng, "conv_id")
+        .join(F.broadcast(rng), "conv_id")
         .select(
             "conv_id",
             F.lit(None).cast("int").alias("turn_idx"),

@@ -59,51 +59,144 @@ def sequence_counts(parsed: DataFrame, cfg: PatternConfig = PatternConfig()) -> 
     that weight, and sum weights — a 5x reduction in exploded rows and string
     building while remaining exactly count-equal to the reference.
     """
-    df = parsed.filter(~F.col("malformed"))
-    sig = event_signature(
-        F.col("source"), F.col("level_ord"), F.col("message"),
-        cfg.prefix_words, cfg.prefix_trunc,
-    )
+    prep = _with_lead_sigs(parsed, cfg)
     W = cfg.sequence_window
-    w_fwd = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.currentRow, W - 1)
-    )
-    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
-    w_all = Window.partitionBy("conv_id")
-    df = (
-        df.withColumn("fwd_sigs", F.collect_list(sig).over(w_fwd))
-        .withColumn("p", F.row_number().over(w_ord) - 1)
-        .withColumn("conv_n", F.count(F.lit(1)).over(w_all))
-    )
-    pairs = F.when(
-        F.size("fwd_sigs") >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size("fwd_sigs")),
-            lambda ln: F.struct(
-                F.array_join(F.slice("fwd_sigs", 1, ln), "->").alias("seq_sig"),
-                F.least(
-                    F.lit(W + 1) - ln,
-                    F.col("conv_n") - F.col("p") - ln + 1,
-                ).alias("weight"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<seq_sig:string,weight:bigint>>"))
-    exploded = df.select("conv_id", F.explode(pairs).alias("g"))
+    grams = []
+    chain = F.col("s0")
+    for ln in range(2, W + 1):
+        chain = F.concat(chain, F.lit("->"), F.col(f"s{ln - 1}"))
+        grams.append(
+            F.when(
+                F.col(f"s{ln - 1}").isNotNull(),
+                F.struct(chain.alias("seq_sig"), _weight(W, ln).alias("weight")),
+            )
+        )
+    pairs = F.filter(F.array(*grams), lambda g: g.isNotNull())
+    exploded = prep.select("conv_id", F.explode(pairs).alias("g"))
     return exploded.groupBy("conv_id", F.col("g.seq_sig").alias("seq_sig")).agg(
         F.sum("g.weight").alias("n")
     )
 
 
+def _with_lead_sigs(parsed: DataFrame, cfg: PatternConfig) -> DataFrame:
+    """conv_id, p (0-based in-conv position), conv_n, s0..s{W-1} (the event
+    signature of the current row and its W-1 successors).
+
+    The per-conv window stage only materializes W-1 lead columns of an
+    ALREADY-projected sig column (computed once, not once per lead); the
+    expensive n-gram work happens AFTER a round-robin repartition, so a hot
+    conversation (10% of all rows in one partition) serializes only its sort,
+    never the string/hash churn."""
+    W = cfg.sequence_window
+    df = parsed.filter(~F.col("malformed")).select(
+        "conv_id",
+        "turn_idx",
+        event_signature(
+            F.col("source"), F.col("level_ord"), F.col("message"),
+            cfg.prefix_words, cfg.prefix_trunc,
+        ).alias("s0"),
+    )
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    df = df.select(
+        "conv_id",
+        "s0",
+        *[F.lead("s0", i).over(w_ord).alias(f"s{i}") for i in range(1, W)],
+        (F.row_number().over(w_ord) - 1).alias("p"),
+        F.count(F.lit(1)).over(w_all).alias("conv_n"),
+    )
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+
+
+def _weight(W: int, ln) -> "Column":
+    return F.least(
+        F.lit(W + 1) - ln, F.col("conv_n") - F.col("p") - ln + 1
+    ).cast("long")
+
+
+def novel_sequences(parsed: DataFrame, cfg: PatternConfig = PatternConfig()) -> DataFrame:
+    """(conv_id, seq_sig) for sequences with total count == 1 — the inputs of
+    A11 — computed WITHOUT materializing n-gram strings for the non-novel
+    bulk:
+
+    1. count by (conv_id, xxhash64(s0..s_{ln-1})) — the hash of the sig TUPLE,
+       so no string is ever built for counting; the shuffle carries 24-byte
+       rows instead of ~200-byte sequence strings
+    2. novel hashes (count==1, a tiny set: weight-1 conv-tail n-grams only)
+       broadcast-join back against the generator, and ONLY the surviving rows
+       pay the string concatenation
+
+    64-bit tuple-hash collisions within a conversation would merge two
+    distinct sequences; at ~10^3..10^5 sequences per conv the collision odds
+    are ~1e-11 — accepted and documented."""
+    prep = _with_lead_sigs(parsed, cfg)
+    W = cfg.sequence_window
+
+    def gh(ln):
+        return F.xxhash64(*[F.col(f"s{i}") for i in range(ln)])
+
+    hashed = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"s{ln - 1}").isNotNull(),
+                    F.struct(gh(ln).alias("gh"), _weight(W, ln).alias("weight"),
+                             F.lit(ln).alias("ln")),
+                )
+                for ln in range(2, W + 1)
+            ]
+        ),
+        lambda g: g.isNotNull(),
+    )
+    exploded = prep.select("conv_id", "p", F.explode(hashed).alias("g")).select(
+        "conv_id", "p", "g.gh", "g.weight", "g.ln"
+    )
+    counts = exploded.groupBy("conv_id", "gh").agg(F.sum("weight").alias("n"))
+    novel = counts.filter(F.col("n") == 1).select("conv_id", "gh")
+
+    # regenerate strings only for novel (conv, gh); count==1 implies exactly
+    # one generating row, so the join is 1:1 — no dedup needed
+    regen = prep.select(
+        "conv_id",
+        *[F.col(f"s{i}") for i in range(W)],
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(F.col(f"s{ln - 1}").isNotNull(), F.lit(ln))
+                        for ln in range(2, W + 1)
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("ln"),
+    )
+
+    def by_ln(make):
+        expr = None
+        for ln in range(W, 1, -1):
+            e = make(ln)
+            expr = e if expr is None else F.when(F.col("ln") == ln, e).otherwise(expr)
+        return expr
+
+    regen = regen.withColumn(
+        "gh", by_ln(lambda ln: F.xxhash64(*[F.col(f"s{i}") for i in range(ln)]))
+    )
+    survivors = regen.join(F.broadcast(novel), ["conv_id", "gh"])
+    sig_expr = by_ln(
+        lambda ln: F.concat_ws("->", *[F.col(f"s{i}") for i in range(ln)])
+    )
+    return survivors.select("conv_id", sig_expr.alias("seq_sig"))
+
+
 def pattern_anomalies(parsed: DataFrame, cfg: PatternConfig = PatternConfig()) -> DataFrame:
-    counts = sequence_counts(parsed, cfg)
     rng = (
         parsed.filter(~F.col("malformed"))
         .groupBy("conv_id")
         .agg(F.min("ts_parsed").alias("min_ts"), F.max("ts_parsed").alias("max_ts"))
     )
-    novel = counts.filter(F.col("n") == 1).join(rng, "conv_id")
+    # one row per conv — always broadcast, never shuffle the big side
+    novel = novel_sequences(parsed, cfg).join(F.broadcast(rng), "conv_id")
 
     high = (
         F.col("seq_sig").contains("ERROR")
