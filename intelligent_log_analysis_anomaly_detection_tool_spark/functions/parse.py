@@ -223,8 +223,15 @@ def parse_text_frame(text: pd.Series) -> pd.DataFrame:
 
 def parse_udf():
     """Build the Arrow-batched parse UDF (lazy: pandas_udf registration
-    needs an active SparkSession in Spark 4)."""
-    return pandas_udf(parse_text_frame, PARSED_STRUCT)
+    needs an active SparkSession in Spark 4).
+
+    Marked nondeterministic ON PURPOSE: it is semantically deterministic, but
+    the flag stops Catalyst from splitting downstream filters through the
+    projection and re-executing the Python stage once per consumer — the
+    .explain audit showed a duplicated ArrowEvalPython (parse evaluated twice
+    per row) without it. Filters on parse outputs cannot reach the parquet
+    scan anyway (they depend on the UDF), so nothing is lost."""
+    return pandas_udf(parse_text_frame, PARSED_STRUCT).asNondeterministic()
 
 
 def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:

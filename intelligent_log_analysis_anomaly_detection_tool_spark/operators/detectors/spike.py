@@ -50,9 +50,21 @@ def spike_anomalies(parsed: DataFrame, cfg: SpikeConfig = SpikeConfig()) -> Data
     df = parsed.filter((~F.col("malformed")) & (F.col("source") != ""))
     df = with_epoch(df)
 
-    cur = trailing_count(cfg.short_window_s, "conv_id", "source")
-    base = trailing_count(cfg.baseline_window_s, "conv_id", "source")
-    df = df.withColumn("cur", cur).withColumn("base", base)
+    # one rn window (turn order) + one merged WindowExec for both range
+    # counts (epoch order): 2 sorts, 1 exchange — not 4 sorts (plan audit)
+    from .common import file_order_window, older_than_window
+
+    keys = ("conv_id", "source")
+    df = df.withColumn("rn", F.row_number().over(file_order_window(*keys)))
+    df = df.withColumn(
+        "cur",
+        F.col("rn")
+        - F.count(F.lit(1)).over(older_than_window(cfg.short_window_s, *keys)),
+    ).withColumn(
+        "base",
+        F.col("rn")
+        - F.count(F.lit(1)).over(older_than_window(cfg.baseline_window_s, *keys)),
+    )
 
     ratio = (F.col("cur") / F.lit(float(cfg.short_window_s))) / (
         F.col("base") / F.lit(float(cfg.baseline_window_s))

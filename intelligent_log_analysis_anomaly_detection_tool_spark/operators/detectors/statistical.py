@@ -55,15 +55,23 @@ def statistical_anomalies(
     df = with_epoch(parsed.filter(~F.col("malformed")))
     keys = ("conv_id", "source")
 
-    n = trailing_count(cfg.rate_window_s, *keys)
+    # single rn window (doubles as Welford count), merged epoch-ordered
+    # WindowExec for the range count + range min (plan audit: 2 sorts total)
+    df = df.withColumn("cnt", F.row_number().over(file_order_window(*keys)))
+    older = F.count(F.lit(1)).over(older_than_window(cfg.rate_window_s, *keys))
     # min(epoch) over retained rows == min over the range frame (monotonic ts)
     w_rng = (
         Window.partitionBy(*keys)
         .orderBy("epoch")
         .rangeBetween(-cfg.rate_window_s, 0)
     )
-    first_epoch = F.min("epoch").over(w_rng)
-    span = F.greatest(F.lit(1.0), (F.col("epoch") - first_epoch).cast("double"))
+    df = df.withColumn("n_rate", F.col("cnt") - older).withColumn(
+        "first_epoch", F.min("epoch").over(w_rng)
+    )
+    n = F.col("n_rate")
+    span = F.greatest(
+        F.lit(1.0), (F.col("epoch") - F.col("first_epoch")).cast("double")
+    )
     rate = F.when(
         n < 2, n.cast("double") * 60.0 / float(cfg.rate_window_s)
     ).otherwise(n.cast("double") / F.greatest(F.lit(1e-6), span / 60.0))
@@ -73,17 +81,14 @@ def statistical_anomalies(
         file_order_window(*keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    sd_raw = F.stddev_samp("rate").over(w_prefix)
     df = (
-        df.withColumn("cnt", F.row_number().over(file_order_window(*keys)))
-        .withColumn("mean", F.avg("rate").over(w_prefix))
+        df.withColumn("mean", F.avg("rate").over(w_prefix))
+        .withColumn("sd_raw", sd_raw)
         .withColumn(
             "sd",
             F.coalesce(
-                F.when(
-                    F.stddev_samp("rate").over(w_prefix) > 0.0,
-                    F.stddev_samp("rate").over(w_prefix),
-                ),
-                F.lit(0.0),
+                F.when(F.col("sd_raw") > 0.0, F.col("sd_raw")), F.lit(0.0)
             ),
         )
     )
