@@ -33,6 +33,44 @@ from pyspark.sql import functions as F
 LEVEL_NAMES = ["TRACE", "DEBUG", "INFO", "WARN", "ERROR", "CRITICAL", "UNKNOWN"]
 
 
+def console_report(result: dict, top_n: int = 5) -> str:
+    """S3 console sink (ConsoleReporter.cpp:81-135): human-readable summary
+    rendered driver-side from the small aggregate frames — severity bars,
+    per-level counts, top-N sources, top anomalies."""
+    from .plans.pipeline import report_order
+
+    lines = ["=" * 60, "LOG ANALYSIS REPORT", "=" * 60]
+    lv = {r["level_ord"]: r["n"] for r in result["level_stats"].collect()}
+    total = sum(lv.values())
+    lines.append(f"Parsed entries: {total}")
+    for ord_, name in enumerate(LEVEL_NAMES):
+        n = lv.get(ord_, 0)
+        if n:
+            bar = "#" * max(1, int(40 * n / max(1, total)))
+            lines.append(f"  {name:<9} {n:>8}  {bar}")
+    lines.append("-" * 60)
+    lines.append(f"Top {top_n} sources by events:")
+    for r in (
+        result["source_stats"]
+        .orderBy(F.desc("total_events"), "source")
+        .limit(top_n)
+        .collect()
+    ):
+        lines.append(
+            f"  {r['source']:<20} total={r['total_events']} "
+            f"errors={r['error_events']} warnings={r['warning_events']}"
+        )
+    lines.append("-" * 60)
+    lines.append(f"Top {top_n} anomalies:")
+    for r in report_order(result["anomalies"], top_n).collect():
+        lines.append(
+            f"  [sev={r['severity']}] {r['detector']:<12} "
+            f"score={r['score']:.2f} {r['description'][:70]}"
+        )
+    lines.append("=" * 60)
+    return "\n".join(lines)
+
+
 def parsed_turns_view(parsed: DataFrame) -> DataFrame:
     """S7: the entries sink projection (ISO timestamp, level name, source,
     message) — per-turn equality vs the oracle is asserted on this frame."""
