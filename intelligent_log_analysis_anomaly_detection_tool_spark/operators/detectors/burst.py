@@ -99,11 +99,10 @@ def _scan_factory(window_s: int, min_repeats: int):
 
 def burst_anomalies(parsed: DataFrame, cfg: BurstConfig = BurstConfig()) -> DataFrame:
     df = with_epoch(parsed.filter(~F.col("malformed")))
-    key = F.concat_ws(
-        "|",
-        F.col("source"),
-        F.col("level_ord").cast("string"),
-        normalized_message(F.col("message")),
+    # shuffle key is a 64-bit hash of (source, level, normalized message) —
+    # the ~100-byte normalized string never travels through the exchange
+    key = F.xxhash64(
+        F.col("source"), F.col("level_ord"), normalized_message(F.col("message"))
     )
     df = df.withColumn("burst_key", key).select(
         "conv_id", "burst_key", "turn_idx", "epoch", "source"

@@ -116,77 +116,87 @@ def _weight(W: int, ln) -> "Column":
 
 def novel_sequences(parsed: DataFrame, cfg: PatternConfig = PatternConfig()) -> DataFrame:
     """(conv_id, seq_sig) for sequences with total count == 1 — the inputs of
-    A11 — computed WITHOUT materializing n-gram strings for the non-novel
-    bulk:
+    A11 — computed WITHOUT aggregating the full n-gram stream.
 
-    1. count by (conv_id, xxhash64(s0..s_{ln-1})) — the hash of the sig TUPLE,
-       so no string is ever built for counting; the shuffle carries 24-byte
-       rows instead of ~200-byte sequence strings
-    2. novel hashes (count==1, a tiny set: weight-1 conv-tail n-grams only)
-       broadcast-join back against the generator, and ONLY the surviving rows
-       pay the string concatenation
+    Key identity: total count n(sig) = Σ over occurrences of
+    min(W+1-L, N-p-L+1). Every occurrence contributes ≥ 1, and an occurrence
+    has weight exactly 1 iff L == W (a full-window gram fits exactly one
+    window) or it ends at the conversation's LAST row (p + L == N). Hence
 
-    64-bit tuple-hash collisions within a conversation would merge two
-    distinct sequences; at ~10^3..10^5 sequences per conv the collision odds
-    are ~1e-11 — accepted and documented."""
+        n == 1  ⇔  exactly one occurrence ∧ (L == W ∨ tail occurrence).
+
+    Two cheap branches instead of aggregating the 9x-exploded stream:
+
+    (a) W-grams: one shuffle keyed by xxhash64(conv, s0..s_{W-1}) with a
+        count window; rows with count == 1 are novel (strings built in the
+        same pass — output-proportional, since most W-grams over real logs
+        are unique and become anomaly rows anyway)
+    (b) tail n-grams with L < W: ≤ W-2 candidates per conversation (tiny);
+        the full generator emits ONLY 64-bit tuple-hashes and is semi-joined
+        against the broadcast candidate set BEFORE any exchange; survivors
+        are counted; novel ⇔ occurrences == 1; strings built only for those
+
+    64-bit tuple-hash collisions would merge two distinct sequences; odds at
+    ~10^5 sequences/conv are ~1e-11 — accepted and documented."""
     prep = _with_lead_sigs(parsed, cfg)
     W = cfg.sequence_window
 
     def gh(ln):
-        return F.xxhash64(*[F.col(f"s{i}") for i in range(ln)])
+        return F.xxhash64(F.col("conv_id"), *[F.col(f"s{i}") for i in range(ln)])
 
-    hashed = F.filter(
-        F.array(
-            *[
-                F.when(
-                    F.col(f"s{ln - 1}").isNotNull(),
-                    F.struct(gh(ln).alias("gh"), _weight(W, ln).alias("weight"),
-                             F.lit(ln).alias("ln")),
-                )
-                for ln in range(2, W + 1)
-            ]
-        ),
-        lambda g: g.isNotNull(),
-    )
-    exploded = prep.select("conv_id", "p", F.explode(hashed).alias("g")).select(
-        "conv_id", "p", "g.gh", "g.weight", "g.ln"
-    )
-    counts = exploded.groupBy("conv_id", "gh").agg(F.sum("weight").alias("n"))
-    novel = counts.filter(F.col("n") == 1).select("conv_id", "gh")
-
-    # regenerate strings only for novel (conv, gh); count==1 implies exactly
-    # one generating row, so the join is 1:1 — no dedup needed
-    regen = prep.select(
-        "conv_id",
-        *[F.col(f"s{i}") for i in range(W)],
-        F.explode(
-            F.filter(
-                F.array(
-                    *[
-                        F.when(F.col(f"s{ln - 1}").isNotNull(), F.lit(ln))
-                        for ln in range(2, W + 1)
-                    ]
-                ),
-                lambda x: x.isNotNull(),
-            )
-        ).alias("ln"),
-    )
-
-    def by_ln(make):
+    def by_ln(make, lo, hi):
         expr = None
-        for ln in range(W, 1, -1):
+        for ln in range(hi, lo - 1, -1):
             e = make(ln)
             expr = e if expr is None else F.when(F.col("ln") == ln, e).otherwise(expr)
         return expr
 
-    regen = regen.withColumn(
-        "gh", by_ln(lambda ln: F.xxhash64(*[F.col(f"s{i}") for i in range(ln)]))
+    def sig_str(ln):
+        return F.concat_ws("->", *[F.col(f"s{i}") for i in range(ln)])
+
+    # (a) full-window grams: count per hash via a no-sort window, keep singles
+    grams_w = prep.filter(F.col(f"s{W - 1}").isNotNull()).select(
+        "conv_id", gh(W).alias("gh"), sig_str(W).alias("seq_sig")
     )
-    survivors = regen.join(F.broadcast(novel), ["conv_id", "gh"])
-    sig_expr = by_ln(
-        lambda ln: F.concat_ws("->", *[F.col(f"s{i}") for i in range(ln)])
+    w_gh = Window.partitionBy("gh")
+    novel_a = (
+        grams_w.withColumn("occ", F.count(F.lit(1)).over(w_gh))
+        .filter(F.col("occ") == 1)
+        .select("conv_id", "seq_sig")
     )
-    return survivors.select("conv_id", sig_expr.alias("seq_sig"))
+
+    # (b) tail grams shorter than W: ln = N - p in [2, W-1]
+    cand = (
+        prep.filter(
+            (F.col("conv_n") - F.col("p") >= 2)
+            & (F.col("conv_n") - F.col("p") <= W - 1)
+        )
+        .withColumn("ln", (F.col("conv_n") - F.col("p")).cast("int"))
+        .withColumn("gh", by_ln(gh, 2, W - 1))
+    )
+    cand_keys = cand.select("gh").distinct()
+    hashes = F.filter(
+        F.array(
+            *[
+                F.when(F.col(f"s{ln - 1}").isNotNull(), gh(ln))
+                for ln in range(2, W)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    occ = prep.select(F.explode(hashes).alias("gh"))
+    occ = occ.join(F.broadcast(cand_keys), "gh")
+    singles = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .filter(F.col("occurrences") == 1)
+        .select("gh")
+    )
+    novel_b = cand.join(F.broadcast(singles), "gh").select(
+        "conv_id", by_ln(sig_str, 2, W - 1).alias("seq_sig")
+    )
+
+    return novel_a.unionByName(novel_b)
 
 
 def pattern_anomalies(parsed: DataFrame, cfg: PatternConfig = PatternConfig()) -> DataFrame:
