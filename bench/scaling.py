@@ -37,7 +37,7 @@ def _generate_input() -> None:
     spark = get_spark(master="local[32]", app_name="bench-gen",
                       shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
-    df = synth_spark(spark, SEED, N_CONVS, partitions=256)
+    df = synth_spark(spark, SEED, N_CONVS, partitions=256, uniform=True)
     df.write.mode("overwrite").parquet(INPUT_DIR)
     n = spark.read.parquet(INPUT_DIR).count()
     print(f"generated {n} rows -> {INPUT_DIR}", file=sys.stderr)

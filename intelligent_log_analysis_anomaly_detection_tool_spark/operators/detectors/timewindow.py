@@ -50,8 +50,10 @@ def timewindow_anomalies(
     parsed: DataFrame, cfg: TimeWindowConfig = TimeWindowConfig()
 ) -> DataFrame:
     df = with_epoch(parsed.filter(~F.col("malformed")))
-    w_conv = Window.partitionBy("conv_id")
-    df = df.withColumn("anchor", F.min("epoch").over(w_conv))
+    # anchor via partial-agg + broadcast join (NOT a conv-partition window):
+    # a hot conversation never funnels through a single window task
+    anchors = df.groupBy("conv_id").agg(F.min("epoch").alias("anchor"))
+    df = df.join(F.broadcast(anchors), "conv_id")
     df = df.withColumn(
         "bucket", F.floor((F.col("epoch") - F.col("anchor")) / cfg.window_s)
     )

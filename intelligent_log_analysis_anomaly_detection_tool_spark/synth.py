@@ -197,12 +197,19 @@ def synth_local(seed: int, n_convs: int) -> pd.DataFrame:
     return out.sort_values(["conv_id", "turn_idx"], ignore_index=True)
 
 
-def synth_spark(spark, seed: int, n_convs: int, partitions: int | None = None):
+def synth_spark(spark, seed: int, n_convs: int, partitions: int | None = None,
+                uniform: bool = False):
     """Distributed generation: conv indices -> mapInPandas -> transcript rows.
 
     Scales to any size: each task generates only its conv range; no driver
     materialization, no shuffle. At 10^12 turns the same shape works — the
     conv-index range is the only driver-side state.
+
+    ``uniform=True`` adds a round-robin repartition so the output layout has
+    no conversation skew (one hot conversation otherwise lands in a single
+    unsplittable parquet row group and serializes every downstream per-row
+    stage that reads it — measured as the scaling bottleneck of the parse
+    stage). A real ingest table is interleaved by arrival time the same way.
     """
     from .schema import TRANSCRIPTS_SCHEMA
 
@@ -215,4 +222,5 @@ def synth_spark(spark, seed: int, n_convs: int, partitions: int | None = None):
                 yield synth_conv_pdf(seed, int(c), n_convs)
 
     convs = spark.range(0, n_convs, 1, partitions)
-    return convs.mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)
+    out = convs.mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)
+    return out.repartition(partitions) if uniform else out
