@@ -43,8 +43,10 @@ from ..schema import PARSED_STRUCT
 
 # C++ std::isspace set (LogParser.cpp trimSv / Utils::trim)
 CPP_WS = " \t\n\v\f\r"
-# digits at offsets 0-3,5-6,8-9,11-12,14-15,17-18; separators unchecked
-_TS_RE = r"^(\d{4}).(\d{2}).(\d{2}).(\d{2}).(\d{2}).(\d{2})"
+# digits at offsets 0-3,5-6,8-9,11-12,14-15,17-18; separators unchecked.
+# [0-9] (not \d): python re \d matches unicode digits, the C++ parser is
+# ASCII-strict (TimeUtils.cpp parseIntField checks '0'..'9')
+_TS_RE = r"^([0-9]{4}).([0-9]{2}).([0-9]{2}).([0-9]{2}).([0-9]{2}).([0-9]{2})"
 _WS_CLS = r"[ \t\n\v\f\r]*"
 
 # plain-path level search order (LogParser.cpp:314-323)
@@ -92,11 +94,18 @@ def _json_value(t: pd.Series, key: str) -> pd.Series:
     anywhere, first ':' after it, skip ws; quoted -> unescape ``\\x -> x``;
     unquoted -> read to ','/'}' and trim. NaN when key/colon absent."""
     prefix = f'"{key}"[^:]*:{_WS_CLS}'
-    quoted = t.str.extract(prefix + r'"((?:\\.|[^"\\])*)"', expand=False)
-    raw = t.str.extract(prefix + r"([^,}]*)", expand=False)
+    # astype("string"): extract on zero matches yields a float NaN column
+    # whose .str accessor raises
+    quoted = t.str.extract(prefix + r'"((?:\\.|[^"\\])*)"', expand=False).astype("string")
+    raw = t.str.extract(prefix + r"([^,}]*)", expand=False).astype("string")
     quoted_clean = quoted.str.replace(r"\\(.)", r"\1", regex=True)
     raw_clean = raw.str.strip(CPP_WS)
-    return quoted_clean.where(quoted.notna(), raw_clean)
+    out = quoted_clean.where(quoted.notna(), raw_clean)
+    # C++ returns MISSING when only whitespace follows the colon to end of
+    # string (pos >= size after ws-skip, LogParser.cpp:248-249); the raw
+    # regex would return an empty-but-present value there
+    dead = t.str.contains(prefix + r"$", regex=True, na=False)
+    return out.where(~dead)
 
 
 def _coalesce(*series: pd.Series) -> pd.Series:
@@ -137,15 +146,15 @@ def parse_text_frame(text: pd.Series) -> pd.DataFrame:
         lv = _contains_level(tp.str.upper(), PLAIN_LEVELS)
 
         # source: ':'-prefix rule then '[...]' rule (LogParser.cpp:340-366)
-        pre = tp.str.extract(r"^([^:]*):", expand=False)
+        pre = tp.str.extract(r"^([^:]*):", expand=False).astype("string")
         pre_r = pre.str.rstrip(CPP_WS)
         ok1 = pre.notna() & ~pre_r.str.contains(" ", regex=False, na=True)
-        bracket = tp.str.extract(r"\[([^\]]*)\]", expand=False)
+        bracket = tp.str.extract(r"\[([^\]]*)\]", expand=False).astype("string")
         src = pre_r.where(ok1, bracket)  # NaN when neither applies
 
         # message: drop first 20 chars when len>20, trim, tokens[2:]
         rem = tp.where(tp.str.len() <= 20, tp.str.slice(20)).str.strip(CPP_WS)
-        msg = rem.str.split(" ", n=2).str.get(2)
+        msg = rem.str.split(" ", n=2).str.get(2).astype("string")
 
         ok = ts_p.notna() & msg.notna() & (msg.str.len() > 0)
         bad = plain.copy()
