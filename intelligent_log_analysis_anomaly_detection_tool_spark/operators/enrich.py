@@ -45,6 +45,40 @@ def enrich(parsed: DataFrame, d: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+# --- §2.10 custom rule plugins -----------------------------------------------
+# The reference registers IRulePlugin::evaluate(entry, config) callables by
+# name (include/anomaly/RuleBasedDetector.hpp:102-110). Here a plugin is a
+# function Column-builder: (parsed DataFrame columns) -> boolean Column,
+# evaluated vectorized alongside the compiled rules.
+
+_RULE_PLUGINS: dict[str, object] = {}
+
+
+def register_rule_plugin(name: str, builder) -> None:
+    """builder: callable(DataFrame) -> boolean Column."""
+    _RULE_PLUGINS[name] = builder
+
+
+def plugin_matches(parsed: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, plugin) rows for every registered plugin hit."""
+    hits = []
+    base = parsed.filter(~F.col("malformed"))
+    for name, builder in sorted(_RULE_PLUGINS.items()):
+        hits.append(
+            base.filter(builder(base)).select(
+                "conv_id", "turn_idx", F.lit(name).alias("plugin")
+            )
+        )
+    if not hits:
+        return parsed.sparkSession.createDataFrame(
+            [], "conv_id STRING, turn_idx INT, plugin STRING"
+        )
+    out = hits[0]
+    for h in hits[1:]:
+        out = out.unionByName(h)
+    return out
+
+
 def rule_matches(parsed: DataFrame, rules: DataFrame) -> DataFrame:
     """F4-F6 evaluated vectorized; returns (conv_id, turn_idx, rule_id) rows.
 

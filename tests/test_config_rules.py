@@ -1,0 +1,77 @@
+"""S10 config loader, J4 rule evaluation, §2.10 plugin registry."""
+
+from pyspark.sql import functions as F
+
+from intelligent_log_analysis_anomaly_detection_tool_spark.functions.config_loader import (
+    parse_config_text,
+    pipeline_config_from,
+    rules_from_config,
+)
+
+CFG_TEXT = """
+# comment line
+spike.threshold = 4.5
+burst.min_repeats = 30   ; trailing comment
+spike.threshold = 5.0    # last wins
+rule.1 = error_keyword KEYWORD ERROR
+rule.1.severity = 0.9
+rule.2 = db_source SOURCE db-service
+rule.2.enabled = false
+rule.3 = warn_level LEVEL 3
+"""
+
+
+def test_parse_config_text():
+    cfg = parse_config_text(CFG_TEXT)
+    assert cfg["spike.threshold"] == "5.0"
+    assert cfg["burst.min_repeats"] == "30"
+
+
+def test_pipeline_config_mapping():
+    pc = pipeline_config_from(parse_config_text(CFG_TEXT))
+    assert pc.spike.threshold == 5.0
+    assert pc.burst.min_repeats == 30
+    assert pc.statistical.z_threshold == 3.0  # untouched default
+
+
+def test_rules_from_config():
+    rows = rules_from_config(parse_config_text(CFG_TEXT))
+    assert rows[0][:4] == (1, "error_keyword", "KEYWORD", "ERROR")
+    assert rows[0][5] == 2  # severity 0.9 -> High
+    assert rows[1][6] is False  # disabled
+    assert rows[2][2] == "LEVEL"
+
+
+def test_rule_matches_and_plugins(spark, fixture_df, oracle_result):
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.enrich import (
+        plugin_matches,
+        register_rule_plugin,
+        rule_matches,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.schema import (
+        RULES_SCHEMA,
+    )
+
+    parsed = parse_stage(fixture_df)
+    rows = rules_from_config(parse_config_text(CFG_TEXT))
+    rules = spark.createDataFrame(rows, RULES_SCHEMA)
+    m = rule_matches(parsed, rules).toPandas()
+
+    po = oracle_result["parsed"]
+    ok = po[~po["malformed"]]
+    want_kw = int(ok["message"].str.upper().str.contains("ERROR", regex=False).sum())
+    want_lvl = int((ok["level"] == 3).sum())
+    got = m.groupby("rule_id").size().to_dict()
+    assert got.get(1, 0) == want_kw
+    assert got.get(3, 0) == want_lvl
+    assert 2 not in got  # disabled rule contributes nothing
+
+    register_rule_plugin(
+        "has_ip", lambda df: F.regexp_extract("message", r"\d+\.\d+\.\d+\.\d+", 0) != ""
+    )
+    p = plugin_matches(parsed).toPandas()
+    assert (p["plugin"] == "has_ip").all()
+    assert len(p) > 0
