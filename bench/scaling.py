@@ -88,8 +88,11 @@ def main() -> None:
         _generate_input()
 
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    cpu_levels = tuple(
+        int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_CPUS", "8,32").split(",")
+    )
     results = {}
-    for cpus in (8, 32):
+    for cpus in cpu_levels:
         best = None
         for _ in range(trials):
             out = subprocess.run(
@@ -105,14 +108,14 @@ def main() -> None:
                 best = r
         results[cpus] = best
 
-    thr8 = results[8]["turns_per_sec"]
-    thr32 = results[32]["turns_per_sec"]
-    eff = (thr32 / thr8) / 4.0
+    lo, hi = cpu_levels[0], cpu_levels[-1]
+    thr_lo = results[lo]["turns_per_sec"]
+    thr_hi = results[hi]["turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
     report = {
-        "metric": "scaling_efficiency_local8_to_local32",
-        "rows": results[32]["rows"],
-        "local8": results[8],
-        "local32": results[32],
+        "metric": f"scaling_efficiency_local{lo}_to_local{hi}",
+        "rows": results[hi]["rows"],
+        **{f"local{c}": results[c] for c in cpu_levels},
         "efficiency": round(eff, 3),
         "pass_0.8": eff >= 0.8,
     }
