@@ -586,7 +586,7 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
     return ngram_jaccard_pairs(
-        _documents(spark, sf_dir), shingle_n=2, threshold=0.05
+        _documents(spark, sf_dir), shingle_n=2, threshold=0.2
     )
 
 
@@ -607,7 +607,7 @@ SELECT doc_a, doc_b, inter,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= 0.05
+WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= 0.2
 """
 
 _DUCK_SHINGLES3 = (

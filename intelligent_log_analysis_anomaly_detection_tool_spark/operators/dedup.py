@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -127,39 +127,102 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 2,
-                        threshold: float = 0.2) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle."""
+                        threshold: float = 0.2,
+                        prefix_filter: bool = False) -> DataFrame:
+    """Exact n-gram Jaccard pairs with jaccard >= threshold.
+
+    Adaptive physical strategy (same output either way):
+
+    - default (``prefix_filter=False``): shared-shingle count-join on 64-bit
+      shingle HASHES (narrow join keys; map-side partial agg). Measured
+      fastest on dense-vocabulary corpora at any threshold. When the shared-
+      shingle pair count bites at corpus scale, the right tool is
+      minhash-LSH (lsh_candidate_pairs) to generate candidates + this as the
+      verifier.
+    - ``prefix_filter=True``: PREFIX FILTERING for sparse corpora at high
+      thresholds — under a global rare-first token order, J(A,B) >= t implies
+      the first |X| - ceil(t·|X|) + 1 shingles of each side share a token
+      (|A∩B| >= t·|A∪B| >= t·|X|), so the join only touches rare prefixes;
+      candidates are verified exactly via array_intersect."""
+    if not prefix_filter:
+        return _jaccard_count_join(docs, text_col, id_col, shingle_n, threshold)
     sh = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    # global rare-first order: (doc frequency asc, shingle asc)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "sh")
+    w_doc = Window.partitionBy(id_col).orderBy("df", "sh")
+    w_sz = Window.partitionBy(id_col)
+    ranked = ranked.withColumn("pos", F.row_number().over(w_doc)).withColumn(
+        "sz", F.count(F.lit(1)).over(w_sz)
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "sh")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
     )
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+
+    sets = docs.select(
+        F.col(id_col),
+        F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("arr"),
+    ).withColumn("sz", F.size("arr"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"),
+                     F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
     out = (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                4,
-            ),
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
     return out
+
+
+def _jaccard_count_join(docs: DataFrame, text_col: str, id_col: str,
+                        shingle_n: int, threshold: float) -> DataFrame:
+    """Exact low-threshold path: join on xxhash64(shingle) (64-bit keys in the
+    exchange instead of strings), count shared shingles per pair, then the
+    jaccard filter. Hash collisions would inflate an intersection count; at
+    ~10^6 distinct shingles the odds are ~1e-7 — accepted."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(F.col(id_col), F.xxhash64("sh").alias("shh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shh") == F.col("b.shh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
 
 
 _HEX = "0123456789abcdef"
