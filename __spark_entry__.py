@@ -783,6 +783,52 @@ def q_simhash64_pairs(spark, sf_dir):
     )
 
 
+def q_burst_detector(spark, sf_dir):
+    """W3 burst detector (trim-on-emit stateful scan, applyInPandas) on the
+    transcript rendering of events — genuinely non-SQL-expressible (emission
+    mutates retained state); driver records rows-only, full routed-row
+    equality is pytest-verified against the python oracle."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.burst import (
+        burst_anomalies,
+    )
+
+    return burst_anomalies(parse_stage(events_as_transcripts(spark, sf_dir)))
+
+
+def q_statistical_detector(spark, sf_dir):
+    """W2 z-score detector (rate windows + Welford-equivalent prefix stats)
+    end-to-end on the transcript rendering; rows-only for the driver (window
+    math itself is oracle-paired in zscore_prefix/spike_windows)."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.statistical import (
+        statistical_anomalies,
+    )
+
+    return statistical_anomalies(parse_stage(events_as_transcripts(spark, sf_dir)))
+
+
+def q_pattern_novel(spark, sf_dir):
+    """A10/A11 novel-sequence mining on the transcript rendering; rows-only
+    (the bigram core is oracle-paired in bigram_sequences; full 2..10-gram
+    overlap-recount semantics are pytest-verified vs the python oracle)."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.pattern import (
+        pattern_anomalies,
+    )
+
+    return pattern_anomalies(parse_stage(events_as_transcripts(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minute_pivot": q_minute_pivot,
@@ -812,6 +858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "ann_ivf_topk": q_ann_ivf_topk,
         "simhash_near_dup_pairs": q_simhash64_pairs,
+        "burst_detector": q_burst_detector,
+        "statistical_detector": q_statistical_detector,
+        "pattern_novel": q_pattern_novel,
     }
 
 
