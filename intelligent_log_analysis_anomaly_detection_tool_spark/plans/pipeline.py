@@ -105,6 +105,9 @@ def run_pipeline(
     offline = offline_anomalies(parsed, cfg)
     anomalies = online.unionByName(offline)
 
+    from ..operators.detectors.frequency import frequency_stats
+    from ..operators.detectors.pattern import pattern_stats
+
     result = {
         "parsed": parsed,
         "enriched": enrich(parsed, d),
@@ -115,6 +118,8 @@ def run_pipeline(
         "level_stats": level_stats(parsed),
         "source_stats": source_stats(parsed),
         "totals": totals(source_stats(parsed)),
+        "frequency_stats": frequency_stats(parsed, cfg.frequency),
+        "pattern_stats": pattern_stats(parsed, cfg.pattern),
         "dims": d,
     }
     if out_dir is not None:
