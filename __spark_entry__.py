@@ -783,6 +783,89 @@ def q_simhash64_pairs(spark, sf_dir):
     )
 
 
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; the IVF-bucketed
+    scale variant is cosine_near_dup_pairs(n_centroids=...))."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    return cosine_near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+
+
+SQL_COSINE_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+"""
+
+
+def q_median_by_type(spark, sf_dir):
+    """Exact percentiles per group (quantile aggregation coverage)."""
+    _utc(spark)
+    return _events(spark, sf_dir).groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+    )
+
+
+SQL_MEDIAN_BY_TYPE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS median_value,
+       round(quantile_cont(value, 0.9), 4) AS p90_value
+FROM events GROUP BY 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + running sum), per-session stats."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    s = sessionize(ev, "user_id", "ts", gap_s=600,
+                   order_cols=["ts", "event_id"])
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("start_es"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
+  FROM events
+), l AS (
+  SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT user_id, es,
+         sum(CASE WHEN prev IS NULL OR es - prev > 600 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_idx
+  FROM l
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(es) AS start_es, max(es) - min(es) AS duration_s
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_burst_detector(spark, sf_dir):
     """W3 burst detector (trim-on-emit stateful scan, applyInPandas) on the
     transcript rendering of events — genuinely non-SQL-expressible (emission
@@ -861,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_detector": q_burst_detector,
         "statistical_detector": q_statistical_detector,
         "pattern_novel": q_pattern_novel,
+        "cosine_near_dup": q_cosine_near_dup,
+        "median_by_type": q_median_by_type,
+        "sessionize": q_sessionize,
     }
 
 
@@ -891,6 +977,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash16": _simhash16_sql(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "binary_meta": SQL_BINARY_META,
+        "cosine_near_dup": SQL_COSINE_NEAR_DUP,
+        "median_by_type": SQL_MEDIAN_BY_TYPE,
+        "sessionize": SQL_SESSIONIZE,
         # ann_ivf_topk / simhash_near_dup_pairs: intentionally no SQL oracle
         # (approximate / engine-native hashing); driver records rows-only.
     }

@@ -59,6 +59,39 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          n_centroids: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
+
+    ``n_centroids=None``: exact brute-force self-join (the oracle-checkable
+    baseline). With ``n_centroids``: IVF-bucketed variant — only pairs inside
+    the same coarse cell are compared (the scale path; recall < 1 by design,
+    like every ANN dedup)."""
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    if n_centroids:
+        cells = assign_cells(emb, emb.filter(F.col(id_col) < n_centroids),
+                             id_col, vec_col)
+        a = cells.select(F.col(id_col).alias("vec_a"),
+                         F.col(vec_col).alias("va"),
+                         F.col("centroid_id"))
+        b = cells.select(F.col(id_col).alias("vec_b"),
+                         F.col(vec_col).alias("vb"),
+                         F.col("centroid_id"))
+        pairs = a.join(b, "centroid_id").filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        a = base.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+        b = base.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def assign_cells(emb: DataFrame, centroids: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine (broadcast argmin)."""
