@@ -65,11 +65,13 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                           n_centroids: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
-    ``n_centroids=None``: exact brute-force self-join (the oracle-checkable
-    baseline). With ``n_centroids``: IVF-bucketed variant — only pairs inside
+    ``n_centroids=None``: exact brute baseline as BLOCKED MATRIX MULTIPLY —
+    the full (normalized) matrix is broadcast (N x dim doubles; brute
+    all-pairs is only viable while that fits anyway) and each task multiplies
+    its block of rows against it with BLAS via a vectorized mapInPandas
+    kernel. With ``n_centroids``: IVF-bucketed variant — only pairs inside
     the same coarse cell are compared (the scale path; recall < 1 by design,
     like every ANN dedup)."""
-    base = emb.select(F.col(id_col), F.col(vec_col))
     if n_centroids:
         cells = assign_cells(emb, emb.filter(F.col(id_col) < n_centroids),
                              id_col, vec_col)
@@ -80,15 +82,45 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                          F.col(vec_col).alias("vb"),
                          F.col("centroid_id"))
         pairs = a.join(b, "centroid_id").filter(F.col("vec_a") < F.col("vec_b"))
-    else:
-        a = base.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-        b = base.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-        pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+        cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+        return (
+            pairs.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    pdf_all = emb.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids_all = pdf_all[id_col].to_numpy()
+    mat = np.array(pdf_all[vec_col].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast((ids_all, mat))
+
+    def kernel(batches):
+        ids_b, m = bc.value
+        for pdf in batches:
+            block_ids = pdf[id_col].to_numpy()
+            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block @ m.T, 4)
+            rows_a, rows_b, rows_c = [], [], []
+            for i in range(len(block_ids)):
+                mask = (sims[i] >= threshold) & (ids_b > block_ids[i])
+                js = np.nonzero(mask)[0]
+                if len(js):
+                    rows_a.extend([int(block_ids[i])] * len(js))
+                    rows_b.extend(int(x) for x in ids_b[js])
+                    rows_c.extend(float(x) for x in sims[i][js])
+            yield pd.DataFrame(
+                {"vec_a": pd.Series(rows_a, dtype="int64"),
+                 "vec_b": pd.Series(rows_b, dtype="int64"),
+                 "cosine": pd.Series(rows_c, dtype="float64")}
+            )
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, schema="vec_a long, vec_b long, cosine double"
     )
 
 
