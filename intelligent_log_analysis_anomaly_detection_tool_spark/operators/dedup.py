@@ -6,6 +6,14 @@ md5-hex (portable: identical in Spark, DuckDB, Python) so every operator is
 oracle-checkable; minhash order comparisons are on fixed-length hex strings,
 which sort identically everywhere.
 
+Algorithms are the published standards (public literature): MinHash
+resemblance sketches (Broder, "On the resemblance and containment of
+documents", 1997), SimHash rounding sketches (Charikar, "Similarity
+estimation techniques from rounding algorithms", STOC 2002), prefix-filtered
+set-similarity joins (Chaudhuri/Ganti/Kaushik, ICDE 2006; Bayardo/Ma/Srikant,
+WWW 2007), and the block-permutation Hamming trick from Manku/Jain/Das Sarma
+(WWW 2007).
+
 Scale notes:
 - exact dedup is one hash-shuffle groupBy (map-side partial agg collapses
   duplicates before the exchange)
