@@ -38,14 +38,13 @@ def read_raw_log_file(spark: SparkSession, path: str,
     event time exactly like the reference's single pass)."""
     cid = conv_id or os.path.splitext(os.path.basename(path))[0]
     rdd = spark.sparkContext.textFile(path).zipWithIndex()
-    df = rdd.map(lambda t: (cid, t[1], None, t[0], None, None)).toDF(
-        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    df = spark.createDataFrame(
+        rdd.map(lambda t: (cid, t[1], None, t[0], None, None)),
+        schema=("conv_id string, turn_idx long, role string, text string, "
+                "tool string, ts timestamp"),
     )
     return df.select(
-        F.col("conv_id").cast("string"),
-        F.col("turn_idx").cast("int"),
-        F.col("role").cast("string"),
-        F.col("text").cast("string"),
-        F.col("tool").cast("string"),
-        F.col("ts").cast("timestamp"),
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role", "text", "tool", "ts",
     )

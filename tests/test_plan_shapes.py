@@ -1,0 +1,67 @@
+"""Physical-plan regression guards: the shapes the scale design depends on
+(broadcast-only dim joins, merged window sorts, parquet pushdown, single
+parse evaluation) must not silently regress."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = _plan(ev.filter(F.col("event_type") == "error").select("event_id", "ts"))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in p
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,event_type:string>" in p
+
+
+def test_enrich_is_broadcast_only(spark, fixture_df):
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.enrich import (
+        dims,
+        enrich,
+    )
+
+    p = _plan(enrich(parse_stage(fixture_df), dims(spark)))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_routing_is_broadcast(spark, fixture_df):
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.enrich import dims
+    from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
+        online_anomalies,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.sinks import (
+        route_anomalies,
+    )
+
+    # union of detector branches -> non-constant detector column, so the
+    # routing join materializes as a real broadcast hash join
+    p = _plan(route_anomalies(online_anomalies(parse_stage(fixture_df)),
+                              dims(spark)["routing"]))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_parse_evaluated_once_in_spike(spark, fixture_df):
+    """The nondeterministic flag must keep Catalyst from duplicating the
+    Arrow parse stage per consumer (one ArrowEvalPython for parse + one for
+    the description formatter)."""
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.spike import (
+        spike_anomalies,
+    )
+
+    p = _plan(spike_anomalies(parse_stage(fixture_df)))
+    assert p.count("ArrowEvalPython") == 2
+    # merged window sorts: one rn sort + one epoch sort + the exchange
+    assert p.count("+- Sort") <= 3
