@@ -783,6 +783,43 @@ def q_simhash64_pairs(spark, sf_dir):
     )
 
 
+def q_region_revenue(spark, sf_dir):
+    """J1-J3 shape on relational data: chained broadcast dim joins
+    (lineitem -> orders -> customer -> nation -> region) + grouped revenue.
+    The fact table never shuffles for lookups — same plan shape as the
+    pipeline's severity/role/tool enrichment."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name AS region_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
 def q_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact baseline; the IVF-bucketed
     scale variant is cosine_near_dup_pairs(n_centroids=...))."""
@@ -947,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "median_by_type": q_median_by_type,
         "sessionize": q_sessionize,
+        "region_revenue": q_region_revenue,
     }
 
 
@@ -980,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dup": SQL_COSINE_NEAR_DUP,
         "median_by_type": SQL_MEDIAN_BY_TYPE,
         "sessionize": SQL_SESSIONIZE,
+        "region_revenue": SQL_REGION_REVENUE,
         # ann_ivf_topk / simhash_near_dup_pairs: intentionally no SQL oracle
         # (approximate / engine-native hashing); driver records rows-only.
     }
