@@ -4,10 +4,20 @@ benchmark row (/root/reference/output/benchmark_runs.csv:2):
     parsed=21015, malformed=5777, emitted_anomalies=42065
 
 This engine reproduces parsed/malformed EXACTLY and emits 42038 anomalies —
-identical to the trusted python oracle on the same lines; the remaining 27
-(0.06%) are the reference's wall-clock/localtime dependence (mktime + DST on
-its Windows dev machine), which this engine deliberately pins to UTC
-(documented divergence, SURVEY.md §7)."""
+identical to the trusted python oracle on the same lines.
+
+The 27-row delta was root-caused by REBUILDING the reference C++ (g++,
+TZ=UTC) and probing its TimeWindowAnalyzer in isolation: all 27 extra
+anomalies are UNDEFINED-BEHAVIOR artifacts — ``TimeWindowAnalyzer::Anomaly``
+leaves ``double score`` uninitialized (include/analysis/
+TimeWindowAnalyzer.hpp:32); ``checkErrorSpike``/``checkBurst``/``checkSilence``
+assign it only when a check fires, and ``detectAnomalies`` then reads the
+indeterminate value through ``score > 0.0``
+(src/analysis/TimeWindowAnalyzer.cpp:44-71). On the observed builds the
+garbage is a positive denormal (~1e-310), so exactly 13 windows x 2 checks +
+1 silence = 27 empty-description, zero-event anomalies leak out. This engine
+implements the INTENDED semantics (emit only when a check actually fires),
+matching the reference everywhere else."""
 
 import os
 
