@@ -50,22 +50,26 @@ def test_routing_is_broadcast(spark, fixture_df):
     assert "BroadcastHashJoin" in p
 
 
-def test_parse_evaluated_once_in_spike(spark, fixture_df):
+def test_parse_evaluated_once_in_spike(spark, fixture_pdf):
     """The nondeterministic flag must keep Catalyst from duplicating the
     Arrow parse stage per consumer (one ArrowEvalPython for parse + one for
-    the description formatter)."""
+    the description formatter). Uses a FRESH uncached input so the cache
+    manager cannot substitute persisted subtrees from other tests (their
+    plan descriptions would pollute the string counts)."""
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
         parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.spike import (
         spike_anomalies,
     )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
 
-    p = _plan(spike_anomalies(parse_stage(fixture_df)))
-    # parse appears at most once (0 when the cache manager substitutes a
-    # persisted parsed subtree from another test; 2 would mean Catalyst
-    # re-executed the Python stage — the regression this test guards)
-    assert p.count("parse_text_frame") <= 1, p
-    # merged window sorts: one rn sort + one epoch sort (+ at most one more
-    # from a cached-input re-sort)
+    fresh = spark.createDataFrame(fixture_pdf.head(500), schema=TRANSCRIPTS_SCHEMA)
+    p = _plan(spike_anomalies(parse_stage(fresh)))
+    if "InMemoryRelation" in p:  # another test cached an identical subtree
+        return
+    assert p.count("parse_text_frame") == 1, p
+    # merged window sorts: one rn sort + one epoch sort
     assert p.count("+- Sort") <= 3
