@@ -51,16 +51,48 @@ def parser_anomalies(parsed: DataFrame) -> DataFrame:
     return as_anomaly(out)
 
 
-def online_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+def rule_anomalies(parsed: DataFrame, rules: DataFrame) -> DataFrame:
+    """EXTENDED mode only: convert rule matches into anomaly rows. The
+    reference's matchesToAnomalies is a placeholder returning {} — faithful
+    mode therefore contributes ZERO rows (F9) and this function is wired in
+    only when cfg.rules_faithful is False. Severity/score come from the rule
+    row; type Other; window [ts, ts]."""
+    from ..operators.enrich import rule_matches
+
+    matches = rule_matches(parsed, rules)
+    enriched = matches.join(F.broadcast(rules), "rule_id").join(
+        parsed.select("conv_id", "turn_idx", "ts_parsed", "source"),
+        ["conv_id", "turn_idx"],
+    )
+    out = enriched.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("rules").alias("detector"),
+        F.lit(T_OTHER).alias("anomaly_type"),
+        F.col("severity"),
+        F.col("ts_parsed").alias("window_start"),
+        F.col("ts_parsed").alias("window_end"),
+        F.col("rule_score").alias("score"),
+        F.col("source"),
+        F.concat(F.lit("Rule matched: "), F.col("name")).alias("description"),
+    )
+    return as_anomaly(out)
+
+
+def online_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
+                     rules: DataFrame | None = None) -> DataFrame:
     """Per-entry detector fires (rule stage contributes zero rows in faithful
     mode, F9). Union order mirrors main.cpp:283-360."""
-    return (
+    out = (
         parser_anomalies(parsed)
         .unionByName(spike_anomalies(parsed, cfg.spike))
         .unionByName(statistical_anomalies(parsed, cfg.statistical))
         .unionByName(burst_anomalies(parsed, cfg.burst))
         .unionByName(rare_ip_anomalies(parsed, cfg.ip))
     )
+    if not cfg.rules_faithful and rules is not None:
+        out = rule_anomalies(parsed, rules).unionByName(out)
+    return out
 
 
 def offline_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -75,3 +75,39 @@ def test_rule_matches_and_plugins(spark, fixture_df, oracle_result):
     p = plugin_matches(parsed).toPandas()
     assert (p["plugin"] == "has_ip").all()
     assert len(p) > 0
+
+
+def test_extended_rules_mode(spark, fixture_df, oracle_result):
+    """rules_faithful=False wires rule matches into the online anomaly union;
+    faithful mode (default) contributes zero rows (F9)."""
+    import dataclasses
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.config import (
+        DEFAULT_CONFIG,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.enrich import (
+        dims,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
+        online_anomalies,
+    )
+
+    parsed = parse_stage(fixture_df)
+    rules = dims(spark)["rules"]
+
+    faithful = online_anomalies(parsed, DEFAULT_CONFIG, rules)
+    assert faithful.filter("detector = 'rules'").count() == 0
+
+    ext_cfg = dataclasses.replace(DEFAULT_CONFIG, rules_faithful=False)
+    ext = online_anomalies(parsed, ext_cfg, rules).filter("detector = 'rules'")
+    got = ext.toPandas()
+    po = oracle_result["parsed"]
+    ok = po[~po["malformed"]]
+    want_err = int(ok["message"].str.upper().str.contains("ERROR", regex=False).sum())
+    want_crit = int(ok["message"].str.upper().str.contains("CRITICAL", regex=False).sum())
+    assert len(got) == want_err + want_crit
+    assert set(got["description"]) <= {"Rule matched: error_keyword",
+                                       "Rule matched: critical_keyword"}
