@@ -241,6 +241,8 @@ class ConvResult:
     source_stats: dict = field(default_factory=dict)
     parsed_count: int = 0
     malformed_count: int = 0
+    seq_counts: dict = field(default_factory=dict)   # A10 n-gram counts
+    msg_hash_counts: dict = field(default_factory=dict)  # A5 message hashes
 
 
 def _minute(r: ConvResult, bucket):
@@ -519,6 +521,9 @@ def run_conv(conv_id: str, rows: list[tuple[int, str]], cfg=None) -> ConvResult:
                         f"Event burst: {total} events in 60s window",
                         start, end))
         return out
+
+    r.seq_counts = seq_counts
+    r.msg_hash_counts = f_hash
 
     tw_all = []
     if tw_init:
