@@ -246,8 +246,10 @@ def q_zscore_prefix(spark, sf_dir):
     mean = F.avg("value").over(w)
     sd = F.stddev_samp("value").over(w)
     z = F.when((cnt >= 10) & (sd > 0), (F.col("value") - mean) / sd).otherwise(0.0)
+    # + 0.0 normalizes IEEE negative zero; DuckDB's round() can emit -0.0
+    # where Spark emits +0.0 for the same value (driver hash is bit-sensitive).
     return ev.select(
-        "event_id", "user_id", F.round(z, 3).alias("zscore")
+        "event_id", "user_id", (F.round(z, 3) + F.lit(0.0)).alias("zscore")
     )
 
 
@@ -262,7 +264,8 @@ WITH w AS (
   FROM events
 )
 SELECT event_id, user_id,
-       round(CASE WHEN cnt >= 10 AND sd > 0 THEN (value - mean) / sd ELSE 0.0 END, 3) AS zscore
+       round(CASE WHEN cnt >= 10 AND sd > 0 THEN (value - mean) / sd ELSE 0.0 END, 3)
+         + 0.0 AS zscore
 FROM w
 """
 
@@ -771,15 +774,16 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_simhash64_pairs(spark, sf_dir):
     """SimHash near-dup candidate pairs via block-permutation Hamming join
-    (Spark-only: xxhash64-based production fingerprint)."""
+    (Spark-only: xxhash64-based 64-bit production fingerprint; 16-bit blocks
+    at max_hamming=3 keep the candidate join selective)."""
     _utc(spark)
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
         hamming_near_dup_pairs,
-        simhash16,
+        simhash64,
     )
 
     return hamming_near_dup_pairs(
-        simhash16(_documents(spark, sf_dir)), max_hamming=3
+        simhash64(_documents(spark, sf_dir)), max_hamming=3, fp_bits=64
     )
 
 
@@ -891,10 +895,12 @@ WITH e AS (
   FROM e
 ), s AS (
   SELECT user_id, es,
-         sum(CASE WHEN prev IS NULL OR es - prev > 600 THEN 1 ELSE 0 END)
+         -- CAST: DuckDB windowed sum() yields HUGEINT (int128); the driver
+         -- hash is type-sensitive, Spark side is bigint.
+         CAST(sum(CASE WHEN prev IS NULL OR es - prev > 600 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-           AS session_idx
+           AS BIGINT) AS session_idx
   FROM l
 )
 SELECT user_id, session_idx, count(*) AS n_events,

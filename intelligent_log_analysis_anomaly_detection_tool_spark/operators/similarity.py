@@ -65,13 +65,15 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                           n_centroids: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
-    ``n_centroids=None``: exact brute baseline as BLOCKED MATRIX MULTIPLY —
-    the full (normalized) matrix is broadcast (N x dim doubles; brute
-    all-pairs is only viable while that fits anyway) and each task multiplies
-    its block of rows against it with BLAS via a vectorized mapInPandas
-    kernel. With ``n_centroids``: IVF-bucketed variant — only pairs inside
-    the same coarse cell are compared (the scale path; recall < 1 by design,
-    like every ANN dedup)."""
+    ``n_centroids=None``: exact brute baseline as BLOCKED ALL-PAIRS MATRIX
+    MULTIPLY — vectors are hashed into B blocks, the B(B+1)/2 block-pairs are
+    cogrouped, and each task computes one normalized block x block matmul
+    (BLAS) inside applyInPandas. NO driver-side materialization: each task
+    holds exactly two blocks, so the exact path survives inputs far past
+    driver memory (it is still O(N^2) compute — that's what "exact all-pairs"
+    means; at corpus scale use ``n_centroids``). With ``n_centroids``:
+    IVF-bucketed variant — only pairs inside the same coarse cell are
+    compared (the scale path; recall < 1 by design, like every ANN dedup)."""
     if n_centroids:
         cells = assign_cells(emb, emb.filter(F.col(id_col) < n_centroids),
                              id_col, vec_col)
@@ -89,38 +91,65 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
             .select("vec_a", "vec_b", "cosine")
         )
 
-    import numpy as np
-    import pandas as pd
+    n_docs = emb.count()
+    # ~2048-row blocks: a block is 2048 x dim doubles (1 MB at dim=64); at
+    # least 8 blocks so the 36+ block-pair tasks parallelize
+    n_blocks = max(8, -(-n_docs // 2048))
+    base = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    # side-tagged union instead of a self-cogroup (avoids Spark's
+    # ambiguous-self-join analysis); the kernel splits by side
+    left = base.withColumn(
+        "bj", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1)))
+    ).withColumnRenamed("blk", "bi").withColumn("side", F.lit(0))
+    right = base.withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).withColumnRenamed("blk", "bj").withColumn("side", F.lit(1))
+    both = left.select(id_col, vec_col, "bi", "bj", "side").unionByName(
+        right.select(id_col, vec_col, "bi", "bj", "side")
+    )
+    # the kernel prefilters on a slightly loose raw cosine; the exact
+    # rounded-cosine filter runs Spark-side (F.round, matching the IVF path
+    # and the DuckDB oracle's round semantics)
+    loose = threshold - 1e-4
 
-    pdf_all = emb.select(F.col(id_col), F.col(vec_col)).toPandas()
-    ids_all = pdf_all[id_col].to_numpy()
-    mat = np.array(pdf_all[vec_col].tolist(), dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = emb.sparkSession.sparkContext.broadcast((ids_all, mat))
+    def _block_pair(key, pdf):
+        import numpy as np
+        import pandas as pd
 
-    def kernel(batches):
-        ids_b, m = bc.value
-        for pdf in batches:
-            block_ids = pdf[id_col].to_numpy()
-            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            block = block / np.linalg.norm(block, axis=1, keepdims=True)
-            sims = np.round(block @ m.T, 4)
-            rows_a, rows_b, rows_c = [], [], []
-            for i in range(len(block_ids)):
-                mask = (sims[i] >= threshold) & (ids_b > block_ids[i])
-                js = np.nonzero(mask)[0]
-                if len(js):
-                    rows_a.extend([int(block_ids[i])] * len(js))
-                    rows_b.extend(int(x) for x in ids_b[js])
-                    rows_c.extend(float(x) for x in sims[i][js])
-            yield pd.DataFrame(
-                {"vec_a": pd.Series(rows_a, dtype="int64"),
-                 "vec_b": pd.Series(rows_b, dtype="int64"),
-                 "cosine": pd.Series(rows_c, dtype="float64")}
-            )
+        cols = ["vec_a", "vec_b", "cosine_raw"]
+        l = pdf[pdf["side"] == 0].reset_index(drop=True)
+        r = pdf[pdf["side"] == 1].reset_index(drop=True)
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(columns=cols)
+        la = l[id_col].to_numpy()
+        rb = r[id_col].to_numpy()
+        ma = np.array(l[vec_col].tolist(), dtype=np.float64)
+        mb = np.array(r[vec_col].tolist(), dtype=np.float64)
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        mask = sims >= loose
+        if key[0] == key[1]:
+            mask &= la[:, None] < rb[None, :]
+        else:
+            mask &= la[:, None] != rb[None, :]
+        ii, jj = np.nonzero(mask)
+        a_ids, b_ids = la[ii], rb[jj]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a_ids, b_ids),
+             "vec_b": np.maximum(a_ids, b_ids),
+             "cosine_raw": sims[ii, jj]}
+        )
 
-    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        kernel, schema="vec_a long, vec_b long, cosine double"
+    pairs = both.groupBy("bi", "bj").applyInPandas(
+        _block_pair, schema="vec_a long, vec_b long, cosine_raw double"
+    )
+    return (
+        pairs.withColumn("cosine", F.round(F.col("cosine_raw"), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 
