@@ -79,15 +79,45 @@ def plugin_matches(parsed: DataFrame) -> DataFrame:
     return out
 
 
+# F7 THRESHOLD rule defaults: RuleConfig{frequencyThreshold=5, timeWindow=60s}
+# (include/anomaly/RuleBasedDetector.hpp:73,80). The reference's rule parser
+# never sets these from the condition string, so every THRESHOLD rule runs
+# with the defaults.
+THRESHOLD_FREQ = 5
+THRESHOLD_WINDOW_S = 60
+
+
 def rule_matches(parsed: DataFrame, rules: DataFrame) -> DataFrame:
-    """F4-F6 evaluated vectorized; returns (conv_id, turn_idx, rule_id) rows.
+    """F4-F7 evaluated vectorized; returns (conv_id, turn_idx, rule_id) rows.
 
     KEYWORD: upper(message) contains upper(condition)
     LEVEL:   level_ord == int(condition)  (named levels never match,
              RuleBasedDetector.cpp:573-582)
     SOURCE:  upper(source) == upper(condition)
+    THRESHOLD: EVENT-TIME respecification of checkThresholdRule
+             (RuleBasedDetector.cpp:600-635): the reference records the
+             wall-clock ARRIVAL time of every evaluated entry (the entry
+             content is ignored) and fires when >= 5 events landed in the
+             trailing 60 s (cleanup keeps events exactly 60 s old). In a
+             batch/distributed engine processing time is meaningless, so the
+             respec counts parsed turns by their event time, per conv_id
+             (the engine's stream unit): fires when the trailing-60 s
+             inclusive count — rank minus evicted, same eviction boundary as
+             the reference's cleanup — reaches 5. Default registry has no
+             THRESHOLD rules, so faithful mode is unchanged (zero rows).
     """
+    from .detectors.common import trailing_count, with_epoch
+
     rows = rules.filter("enabled").collect()
+    base = parsed.filter(~F.col("malformed"))
+    if any(r.rule_type == "THRESHOLD" for r in rows):
+        # window expr must be a plain column before it can sit inside the
+        # fired-rules array (the analyzer doesn't extract windows nested in
+        # explode(filter(array(...))))
+        base = with_epoch(base).withColumn(
+            "_thr_n", trailing_count(THRESHOLD_WINDOW_S, "conv_id")
+        )
+        thr_pred = F.col("_thr_n") >= THRESHOLD_FREQ
     match_cols = []
     for r in rows:
         if r.rule_type == "KEYWORD":
@@ -99,6 +129,8 @@ def rule_matches(parsed: DataFrame, rules: DataFrame) -> DataFrame:
                 pred = F.lit(False)
         elif r.rule_type == "SOURCE":
             pred = F.upper(F.col("source")) == r.condition.upper()
+        elif r.rule_type == "THRESHOLD":
+            pred = thr_pred
         else:
             # TIME_WINDOW/SEQUENCE/PATTERN/COMPOSITE are placeholders that
             # always return false in the reference (RuleBasedDetector.cpp:637-667)
@@ -109,7 +141,4 @@ def rule_matches(parsed: DataFrame, rules: DataFrame) -> DataFrame:
             [], "conv_id STRING, turn_idx INT, rule_id INT"
         )
     fired = F.filter(F.array(*match_cols), lambda x: x.isNotNull())
-    return (
-        parsed.filter(~F.col("malformed"))
-        .select("conv_id", "turn_idx", F.explode(fired).alias("rule_id"))
-    )
+    return base.select("conv_id", "turn_idx", F.explode(fired).alias("rule_id"))

@@ -25,7 +25,7 @@ def all_operators() -> list[Op]:
         burst, frequency, pattern, rare_ip, spike, statistical, timewindow,
     )
     from .plans import pipeline
-    from . import checkpoint, sinks
+    from . import checkpoint, dashboard, sinks
     from .sources import transcripts
     from .streaming import pipeline as streaming_pipeline
 
@@ -48,7 +48,7 @@ def all_operators() -> list[Op]:
            "oracle"),
         Op("sequence_counts", ("A10",), pattern.sequence_counts, "oracle"),
         Op("pattern_anomalies", ("A11",), pattern.pattern_anomalies, "oracle"),
-        Op("pattern_stats", ("A9",), pattern.pattern_stats, "pytest"),
+        Op("pattern_stats", ("A9",), pattern.pattern_stats, "oracle"),
         Op("spike_anomalies", ("W1",), spike.spike_anomalies, "duckdb+oracle"),
         Op("statistical_anomalies", ("W2",), statistical.statistical_anomalies,
            "duckdb+oracle"),
@@ -66,6 +66,7 @@ def all_operators() -> list[Op]:
         Op("parsed_turns_view", ("S7",), sinks.parsed_turns_view, "binary-diff"),
         Op("route_anomalies", ("J5", "S5"), sinks.route_anomalies, "oracle"),
         Op("write_all", ("S4", "S5", "S6", "S8"), sinks.write_all, "oracle"),
+        Op("write_dashboard", ("S9",), dashboard.write_dashboard, "pytest"),
         Op("run_resumable", ("checkpoint",), checkpoint.run_resumable, "pytest"),
         Op("streaming_minute_counts", ("streaming",),
            streaming_pipeline.streaming_minute_counts, "pytest"),
@@ -83,6 +84,8 @@ def all_operators() -> list[Op]:
         Op("cosine_topk", ("similarity",), similarity.cosine_topk,
            "duckdb+pytest"),
         Op("ivf_topk", ("similarity",), similarity.ivf_topk, "pytest-recall"),
+        Op("kmeans_centroids", ("similarity",), similarity.kmeans_centroids,
+           "pytest-recall"),
         Op("cosine_near_dup_pairs", ("similarity",),
            similarity.cosine_near_dup_pairs, "duckdb"),
         Op("token_stats", ("text",), textstats.token_stats, "duckdb"),

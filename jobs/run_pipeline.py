@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--resume", action="store_true",
                     help="(informational) resume is automatic via manifests")
+    ap.add_argument("--graphs", action="store_true",
+                    help="render the S9 dashboard (12 SVG charts + index.html) "
+                         "into <output>/graphs from the written sinks")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -57,9 +60,24 @@ def main() -> None:
     processed = run_resumable(
         spark, transcripts, args.output, n_buckets=args.buckets
     )
+    graphs: list[str] = []
+    if args.graphs:
+        from intelligent_log_analysis_anomaly_detection_tool_spark.dashboard import (
+            write_dashboard,
+        )
+        from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
+            minute_stats,
+        )
+
+        parsed = spark.read.parquet(os.path.join(args.output, "parsed_turns"))
+        graphs = write_dashboard(
+            os.path.join(args.output, "graphs"), parsed, minute_stats(parsed)
+        )
+
     print(json.dumps({
         "resumed_from": sorted(already),
         "processed": {str(k): v for k, v in processed.items()},
+        "graphs": graphs,
     }, indent=2))
 
 

@@ -77,6 +77,46 @@ def test_rule_matches_and_plugins(spark, fixture_df, oracle_result):
     assert len(p) > 0
 
 
+def test_threshold_rule_event_time(spark):
+    """F7 THRESHOLD rule (event-time respec of RuleBasedDetector.cpp:600-635):
+    fires on the turn where the trailing-60 s inclusive count reaches 5;
+    an event exactly 60 s old is KEPT (cleanup drops front < cutoff only);
+    one that is 61 s old is evicted, so the count stays at 4 -> no fire."""
+    import datetime
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.enrich import (
+        rule_matches,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.schema import (
+        RULES_SCHEMA,
+    )
+
+    def ts(s):
+        return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=s)
+
+    rows = []
+    for conv, secs in [
+        ("fires_dense", [0, 10, 20, 30, 40]),      # count 1..5 -> fires on 5th
+        ("evicted_4", [0, 10, 20, 30, 61]),        # front evicted -> count 4
+        ("boundary_60", [0, 10, 20, 30, 60]),      # 60 s old kept -> count 5
+        ("only_4", [0, 10, 20, 30]),               # never reaches 5
+    ]:
+        for i, s in enumerate(secs):
+            rows.append((conv, i, False, None, 2, "svc", "msg", ts(s)))
+    parsed = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, malformed boolean, error string, "
+        "level_ord int, source string, message string, ts_parsed timestamp",
+    )
+    cfg_rows = rules_from_config(parse_config_text("rule.4 = flood THRESHOLD any\n"))
+    rules = spark.createDataFrame(cfg_rows, RULES_SCHEMA)
+    got = rule_matches(parsed, rules).toPandas()
+    assert set(zip(got["conv_id"], got["turn_idx"])) == {
+        ("fires_dense", 4), ("boundary_60", 4)
+    }
+    assert (got["rule_id"] == 4).all()
+
+
 def test_extended_rules_mode(spark, fixture_df, oracle_result):
     """rules_faithful=False wires rule matches into the online anomaly union;
     faithful mode (default) contributes zero rows (F9)."""

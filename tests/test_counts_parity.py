@@ -38,6 +38,53 @@ def test_sequence_counts_full_parity(spark, fixture_df, fixture_pdf):
     assert got_map == want_map
 
 
+def test_pattern_stats_parity(spark, fixture_df, fixture_pdf):
+    """A9 PatternAnalyzer::getStats parity vs the python oracle's seq_counts
+    (/root/reference/src/analysis/PatternAnalyzer.cpp:74-117): totals,
+    repeating (freq >= 2), error chains (sig contains ERROR/CRITICAL), and
+    the top-10 by frequency. The reference's top-10 tie order is
+    nondeterministic (std::sort on freq only); both sides here break ties by
+    signature asc, so the comparison is well-defined."""
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.pattern import (
+        pattern_stats,
+    )
+
+    convs = sorted(fixture_pdf["conv_id"].unique())[:12]
+    sub_pdf = fixture_pdf[fixture_pdf["conv_id"].isin(convs)]
+    sub_df = fixture_df.filter(F.col("conv_id").isin(convs))
+
+    res = pattern_stats(parse_stage(sub_df))
+    got_stats = {
+        r["conv_id"]: (int(r["total_patterns"]), int(r["repeating_patterns"]),
+                       int(r["error_chains"]))
+        for _, r in res["stats"].toPandas().iterrows()
+    }
+    top_pdf = res["top_patterns"].toPandas()
+    got_top = {
+        conv: [(r["seq_sig"], int(r["n"]))
+               for _, r in g.sort_values("rank").iterrows()]
+        for conv, g in top_pdf.groupby("conv_id")
+    }
+
+    want_counts = _oracle_conv_counts(sub_pdf, "seq_counts")
+    by_conv = {}
+    for (conv, sig), n in want_counts.items():
+        by_conv.setdefault(conv, {})[sig] = n
+    for conv, counts in by_conv.items():
+        total = len(counts)
+        repeating = sum(1 for v in counts.values() if v >= 2)
+        chains = sum(
+            1 for s in counts if "ERROR" in s or "CRITICAL" in s
+        )
+        assert got_stats[conv] == (total, repeating, chains), conv
+        want_top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got_top[conv] == want_top, conv
+    assert set(got_stats) == set(by_conv)
+
+
 def test_message_hash_counts_full_parity(spark, fixture_df, fixture_pdf):
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
         parse_stage,

@@ -69,6 +69,42 @@ def test_brute_cosine_matches_numpy(spark, emb):
     np.testing.assert_allclose(got["cosine"], [s for s, _ in order], atol=1e-9)
 
 
+def test_ivf_kmeans_recall_on_clustered(spark):
+    """Seeded k-means centroids must reach recall@10 >= 0.9 at nprobe=2 on a
+    clustered fixture, and beat the first-N-centroids stand-in (whose cells
+    don't follow the data distribution)."""
+    import numpy as np
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(40):
+            v = c + 0.08 * rng.normal(size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    brute = set(cosine_topk(emb, 0, 10).toPandas()["vec_id"])
+
+    def recall(mode):
+        got = ivf_topk(emb, 0, 10, n_centroids=10, nprobe=2,
+                       centroid_mode=mode).toPandas()
+        return len(brute & set(got["vec_id"])) / 10
+
+    r_kmeans = recall("kmeans")
+    r_firstn = recall("first_n")
+    assert r_kmeans >= 0.9, f"kmeans recall {r_kmeans}"
+    assert r_kmeans >= r_firstn, (r_kmeans, r_firstn)
+
+
 def _py_simhash16(text: str) -> int:
     toks = [t for t in text.split() if t]
     sums = [0] * 16
