@@ -76,7 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline (parse UDF -> detectors -> minute pivot) on
     sf0.001; driver checks rows>0 and a stable schema."""
     _utc(spark)
-    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
@@ -915,7 +915,7 @@ def q_burst_detector(spark, sf_dir):
     mutates retained state); driver records rows-only, full routed-row
     equality is pytest-verified against the python oracle."""
     _utc(spark)
-    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.burst import (
@@ -930,7 +930,7 @@ def q_statistical_detector(spark, sf_dir):
     end-to-end on the transcript rendering; rows-only for the driver (window
     math itself is oracle-paired in zscore_prefix/spike_windows)."""
     _utc(spark)
-    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.statistical import (
@@ -945,7 +945,7 @@ def q_pattern_novel(spark, sf_dir):
     (the bigram core is oracle-paired in bigram_sequences; full 2..10-gram
     overlap-recount semantics are pytest-verified vs the python oracle)."""
     _utc(spark)
-    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.pattern import (

@@ -43,7 +43,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- headline: full pipeline over transcripts rendered from events ---
-    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (

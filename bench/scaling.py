@@ -45,7 +45,7 @@ def _generate_input() -> None:
 
 
 def _measure(cpus: int) -> dict:
-    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
@@ -66,13 +66,27 @@ def _measure(cpus: int) -> dict:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.time()
     parsed = parse_stage(tr).persist()
     parsed.count()
+    # the two post-parse branches are independent — submit them concurrently
+    # (standard Spark multi-job scheduling) so the cluster never idles
+    # between driver-side submissions; identical structure at both levels
     online = online_anomalies(parsed).persist()
-    online.count()
-    noop(offline_anomalies(parsed))
-    noop(minute_stats(parsed, online))
+
+    def _online_then_minutes():
+        online.count()
+        noop(minute_stats(parsed, online))
+
+    def _offline():
+        noop(offline_anomalies(parsed))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(_online_then_minutes), ex.submit(_offline)]
+        for f in futs:
+            f.result()
     wall = time.time() - t0
     spark.stop()
     return {"cpus": cpus, "rows": rows, "wall_sec": round(wall, 2),
@@ -95,13 +109,18 @@ def main() -> None:
     for cpus in cpu_levels:
         best = None
         for _ in range(trials):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
-                capture_output=True, text=True, cwd=REPO, timeout=3600,
-            )
-            if out.returncode != 0:
+            # one retry per trial: a transient Python-worker death (socket
+            # reset) should not abort a 30-minute measurement session
+            for attempt in range(2):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+                    capture_output=True, text=True, cwd=REPO, timeout=3600,
+                )
+                if out.returncode == 0:
+                    break
                 print(out.stderr[-4000:], file=sys.stderr)
-                raise SystemExit(f"bench run cpus={cpus} failed")
+            if out.returncode != 0:
+                raise SystemExit(f"bench run cpus={cpus} failed twice")
             r = json.loads(out.stdout.strip().splitlines()[-1])
             print(json.dumps(r), file=sys.stderr)
             if best is None or r["wall_sec"] < best["wall_sec"]:

@@ -78,7 +78,7 @@ def run_resumable(
 
     Returns {bucket: lineage} for the buckets processed in THIS invocation.
     """
-    from .functions.parse import parse_stage
+    from .functions.parse_select import parse_stage
     from .plans.pipeline import all_anomalies
 
     done = completed_buckets(out_dir)

@@ -62,7 +62,8 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          n_centroids: int | None = None) -> DataFrame:
+                          n_centroids: int | None = None,
+                          centroid_mode: str = "kmeans") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
     ``n_centroids=None``: exact brute baseline as BLOCKED ALL-PAIRS MATRIX
@@ -75,8 +76,12 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     IVF-bucketed variant — only pairs inside the same coarse cell are
     compared (the scale path; recall < 1 by design, like every ANN dedup)."""
     if n_centroids:
-        cells = assign_cells(emb, emb.filter(F.col(id_col) < n_centroids),
-                             id_col, vec_col)
+        if centroid_mode == "kmeans":
+            cents = kmeans_centroids(emb, n_centroids, id_col=id_col,
+                                     vec_col=vec_col)
+        else:
+            cents = emb.filter(F.col(id_col) < n_centroids)
+        cells = assign_cells(emb, cents, id_col, vec_col)
         a = cells.select(F.col(id_col).alias("vec_a"),
                          F.col(vec_col).alias("va"),
                          F.col("centroid_id"))

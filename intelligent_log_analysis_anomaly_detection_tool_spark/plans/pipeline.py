@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..functions.parse import parse_stage
+from ..functions.parse_select import parse_stage
 from ..operators.aggregates import level_stats, minute_stats, source_stats, totals
 from ..operators.detectors.burst import burst_anomalies
 from ..operators.detectors.common import S_LOW, T_OTHER, as_anomaly

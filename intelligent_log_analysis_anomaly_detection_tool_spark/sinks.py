@@ -100,26 +100,47 @@ def write_all(result: dict, routing: DataFrame, out_dir: str) -> dict:
     t0 = time.time()
 
     parsed = result["parsed"]
-    turns = parsed_turns_view(parsed)
-    turns.write.mode("overwrite").parquet(f"{out_dir}/parsed_turns")
-
-    routed = route_anomalies(result["anomalies"], routing)
-    routed.write.mode("overwrite").partitionBy("sink_name", "severity").parquet(
-        f"{out_dir}/anomalies_routed"
-    )
-
-    result["minute_stats"].write.mode("overwrite").parquet(
-        f"{out_dir}/timeseries_minute"
-    )
+    # three of the five sinks consume the anomaly union — materialize it once
+    anomalies = result["anomalies"].persist()
+    routed = route_anomalies(anomalies, routing)
 
     from .plans.pipeline import report_order
 
-    report_order(result["anomalies"], 100).write.mode("overwrite").json(
-        f"{out_dir}/report_json"
-    )
-    report_order(result["anomalies"], 1000).write.mode("overwrite").option(
-        "header", True
-    ).csv(f"{out_dir}/report_csv")
+    # the five sinks are independent given their (persisted) inputs — submit
+    # them concurrently so the cluster never idles between driver-side job
+    # submissions (standard multi-job scheduling; each write is its own job)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_turns():
+        parsed_turns_view(parsed).write.mode("overwrite").parquet(
+            f"{out_dir}/parsed_turns"
+        )
+
+    def _w_routed():
+        routed.write.mode("overwrite").partitionBy("sink_name", "severity").parquet(
+            f"{out_dir}/anomalies_routed"
+        )
+
+    def _w_minutes():
+        result["minute_stats"].write.mode("overwrite").parquet(
+            f"{out_dir}/timeseries_minute"
+        )
+
+    def _w_json():
+        report_order(anomalies, 100).write.mode("overwrite").json(
+            f"{out_dir}/report_json"
+        )
+
+    def _w_csv():
+        report_order(anomalies, 1000).write.mode("overwrite").option(
+            "header", True
+        ).csv(f"{out_dir}/report_csv")
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        futs = [ex.submit(f) for f in (_w_turns, _w_routed, _w_minutes,
+                                       _w_json, _w_csv)]
+        for f in futs:
+            f.result()
 
     # per-sink counts (the "per-sink aggregate counts" correctness surface)
     sink_counts = {
@@ -138,4 +159,5 @@ def write_all(result: dict, routing: DataFrame, out_dir: str) -> dict:
     }
     with open(f"{out_dir}/run_metrics.json", "w") as fh:
         json.dump(metrics, fh, indent=2)
+    anomalies.unpersist()
     return metrics

@@ -38,10 +38,14 @@ def build_and_run() -> None:
             check=True,
         )
     env = dict(os.environ, TZ="UTC")
-    subprocess.run(
+    out = subprocess.run(
         [f"{BUILD}/logtool", "--graphs", CORPUS],
         cwd=BUILD, env=env, capture_output=True, text=True,
     )
+    # keep the S3 console report for the field-level diff (non-tty run, so
+    # the reference disables ANSI colors itself)
+    with open(f"{BUILD}/console.txt", "w") as fh:
+        fh.write(out.stdout)
 
 
 def main() -> None:
@@ -106,7 +110,80 @@ def main() -> None:
     n = all_anomalies(parsed).count()
     print(f"anomalies: engine={n} (reference publishes 42065 incl. 27 UB artifacts)")
     assert n == 42038
+
+    _check_console(parsed, n)
     print("PARITY OK")
+
+
+def _check_console(parsed, engine_anomalies: int) -> None:
+    """S3 field-level diff vs the reference's console report
+    (ConsoleReporter.cpp:81-135 via ReportGenerator): Total Events /
+    Errors / Warnings, anomaly count, and the Top Sources table.
+
+    'Generated' and Analysis Start/End are wall-clock / run metadata and are
+    excluded. Top-source TIE order is nondeterministic in the reference
+    (std::sort on count only, ReportGenerator.cpp:21-33), so the table is
+    compared as count-sorted (source -> count) pairs with ties grouped.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
+        source_stats,
+    )
+
+    with open(f"{BUILD}/console.txt") as fh:
+        txt = fh.read()
+    if "LOG ANALYSIS REPORT" not in txt:
+        print("console: reference run produced no console report — skipped")
+        return
+
+    def field(name: str) -> int:
+        m = re.search(rf"^{name}:\s+(\d+)$", txt, re.M)
+        assert m, f"console field {name} not found"
+        return int(m.group(1))
+
+    ok = parsed.filter(~F.col("malformed"))
+    total = ok.count()
+    ss = source_stats(parsed).toPandas()
+    errors = int(ss["error_events"].sum())
+    warnings = int(ss["warning_events"].sum())
+    assert field("Total Events") == total, (field("Total Events"), total)
+    assert field("Total Errors") == errors
+    assert field("Total Warnings") == warnings
+    ref_anoms = field("Anomalies")
+    print(f"console: totals match (events={total} errors={errors} "
+          f"warnings={warnings}); reference anomalies={ref_anoms} vs "
+          f"engine={engine_anomalies} (delta = the 27 documented UB artifacts)")
+
+    # Top Sources table: "<source padded to 32><count padded to 12>"
+    rows = re.findall(r"^(\S.{0,31}?)\s+(\d+)$", txt.split("Top Sources", 1)[1]
+                      .split("Anomalies (showing", 1)[0], re.M)
+    ref_top = [(s.strip(), int(c)) for s, c in rows if s.strip() != "Source"]
+    want = (
+        ss.sort_values(["total_events", "source"], ascending=[False, True])
+        .head(len(ref_top))
+    )
+    # counts must agree rank-by-rank; sources compared as tie-grouped sets
+    assert [c for _, c in ref_top] == [int(x) for x in want["total_events"]], (
+        ref_top, want)
+    by_count_ref: dict[int, set] = {}
+    by_count_eng: dict[int, set] = {}
+    for s, c in ref_top:
+        by_count_ref.setdefault(c, set()).add(s)
+    for _, r in want.iterrows():
+        by_count_eng.setdefault(int(r["total_events"]), set()).add(r["source"])
+    # at the truncation boundary the reference may include a different member
+    # of the tie group; allow subset at the minimum count only
+    mn = min(by_count_ref)
+    for c in by_count_ref:
+        if c == mn:
+            assert by_count_ref[c] <= by_count_eng[c] or by_count_eng[c] <= by_count_ref[c]
+        else:
+            assert by_count_ref[c] == by_count_eng[c], (c, by_count_ref[c], by_count_eng[c])
+    print(f"console: top-sources table matches ({len(ref_top)} rows, "
+          f"tie-grouped)")
 
 
 if __name__ == "__main__":
