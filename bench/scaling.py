@@ -105,9 +105,11 @@ def main() -> None:
     cpu_levels = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_CPUS", "8,32").split(",")
     )
-    results = {}
+    results: dict[int, dict] = {}
+    all_trials: dict[int, list] = {}
     for cpus in cpu_levels:
         best = None
+        all_trials[cpus] = []
         for _ in range(trials):
             # one retry per trial: a transient Python-worker death (socket
             # reset) should not abort a 30-minute measurement session
@@ -123,20 +125,33 @@ def main() -> None:
                 raise SystemExit(f"bench run cpus={cpus} failed twice")
             r = json.loads(out.stdout.strip().splitlines()[-1])
             print(json.dumps(r), file=sys.stderr)
+            all_trials[cpus].append(r["turns_per_sec"])
             if best is None or r["wall_sec"] < best["wall_sec"]:
                 best = r
         results[cpus] = best
 
+    def median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    # two estimators, both reported: best-trial (classic min-of-N wall) and
+    # median-of-N. For a RATIO of noisy quantities the median is the robust
+    # one — a single lucky low-parallelism trial shifts the best-based ratio
+    # by its full error, so per-level variance (±8% at local[2] on this
+    # shared box) lands directly in the efficiency number.
     lo, hi = cpu_levels[0], cpu_levels[-1]
-    thr_lo = results[lo]["turns_per_sec"]
-    thr_hi = results[hi]["turns_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    eff_best = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
+    eff_med = (median(all_trials[hi]) / median(all_trials[lo])) / (hi / lo)
     report = {
         "metric": f"scaling_efficiency_local{lo}_to_local{hi}",
         "rows": results[hi]["rows"],
         **{f"local{c}": results[c] for c in cpu_levels},
-        "efficiency": round(eff, 3),
-        "pass_0.8": eff >= 0.8,
+        "trials_turns_per_sec": {str(c): all_trials[c] for c in cpu_levels},
+        "efficiency_best": round(eff_best, 3),
+        "efficiency_median": round(eff_med, 3),
+        "efficiency": round(eff_med, 3),
+        "pass_0.8": eff_med >= 0.8,
     }
     print(json.dumps(report))
 

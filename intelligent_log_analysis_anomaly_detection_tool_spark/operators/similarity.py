@@ -165,56 +165,44 @@ def _unit(a: Column) -> Column:
 
 def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 3,
                      seed: int = 42, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     sample_cap: int = 8192) -> DataFrame:
     """Seeded spherical k-means (Lloyd) for IVF coarse quantization.
 
-    Deterministic: init picks the k vectors minimizing xxhash64(id, seed)
-    (a seeded pseudo-random sample, reproducible across runs/partitionings);
-    assignment ties break by centroid_id. Each Lloyd iteration is one
-    broadcast-join assignment plus one (centroid, dim) shuffle aggregation —
-    the driver only ever holds k x dim doubles (the same shape MLlib's
-    KMeans keeps driver-side), so the pass scales to arbitrary N.
-    Vectors and centroids are L2-normalized, so dot == cosine and the
-    centroid update (normalized mean of members) is the spherical-k-means
-    maximizer."""
+    Fit on a BOUNDED deterministic sample: the ``sample_cap`` vectors
+    minimizing xxhash64(id, seed) (a seeded pseudo-random sample, stable
+    across runs and partitionings) are collected — one TakeOrdered job, the
+    driver never holds more than sample_cap x dim doubles — and Lloyd runs
+    in numpy (float64, spherical: unit vectors, dot == cosine, centroid =
+    normalized member mean; assignment ties break toward the lower
+    centroid_id). Sample fitting is the standard coarse-quantizer recipe at
+    corpus scale (a few-k sample bounds the centroid estimate error
+    regardless of N); full-data assignment happens downstream in
+    assign_cells. Init = first k sample vectors (same hash order)."""
     spark = emb.sparkSession
-    import math
+    import numpy as np
 
-    nrm = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias(vec_col))
-    init_rows = (
-        nrm.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
-        .limit(k)
+    rows = (
+        emb.select(F.col(id_col), _unit(F.col(vec_col)).alias(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(sample_cap)
         .collect()
     )
-    cents = [list(map(float, r[vec_col])) for r in init_rows]
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    cents = mat[:k].copy()
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "centroid_id int, c_vec array<double>",
-        )
-        scored = nrm.crossJoin(F.broadcast(cdf)).select(
-            F.col(id_col), F.col(vec_col), F.col("centroid_id"),
-            _dot(F.col(vec_col), F.col("c_vec")).alias("sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("sim"), "centroid_id")
-        best = scored.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
-        means = (
-            best.select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        )
-        got = {
-            r["centroid_id"]: [e["m"] for e in r["pm"]] for r in means.collect()
-        }
-        for cid, vec in got.items():
-            n = math.sqrt(sum(x * x for x in vec))
-            if n > 0:
-                cents[cid] = [x / n for x in vec]
-        # empty cells keep their previous centroid
+        sims = mat @ cents.T                       # (n, k); unit rows: cosine
+        assign = np.argmax(sims, axis=1)           # first max -> lowest id
+        for cid in range(len(cents)):
+            members = mat[assign == cid]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[cid] = m / n
+            # empty cells keep their previous centroid
     return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         f"{id_col} long, {vec_col} array<double>",
     )
 
