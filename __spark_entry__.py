@@ -41,35 +41,59 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_transcripts(spark: SparkSession, sf_dir: str,
+                          step_s: int | None = None) -> DataFrame:
     """Render the events table into the engine's transcript input shape
     (conv_id, turn_idx, role, text, tool, ts) with reference-style log lines
-    so the full parse->detect pipeline can run on driver-provided data."""
+    so the full parse->detect pipeline can run on driver-provided data.
+
+    ``step_s``: when given, per-user timestamps are DENSIFIED to
+    ``first_ts(user) + turn_idx * step_s`` (still strictly monotonic per
+    conversation). The default rendering keeps real event times, which are so
+    sparse that trailing-60s burst windows never accumulate; the dense variant
+    makes the burst detector's driver-facing check non-vacuous."""
     ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w) - 1
+    if step_s is None:
+        ts_out = F.col("ts")
+    else:
+        anchor = F.min("ts").over(Window.partitionBy("user_id"))
+        ts_out = F.timestamp_seconds(
+            F.unix_timestamp(anchor) + rn * F.lit(step_s)
+        )
     level = (
         F.when(F.col("event_type") == "error", "ERROR")
         .when(F.col("event_type") == "purchase", "WARN")
         .otherwise("INFO")
     )
     text = F.concat(
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.date_format(ts_out, "yyyy-MM-dd HH:mm:ss"),
         F.lit(" ["), level, F.lit("] events-svc - type="),
         F.col("event_type"),
         F.lit(" value="), F.col("value").cast("string"),
         F.lit(" user="), F.col("user_id").cast("string"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        rn.cast("int").alias("turn_idx"),
         F.element_at(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
             (F.pmod(F.col("event_id"), 4) + 1).cast("int"),
         ).alias("role"),
         text.alias("text"),
         F.lit("none").alias("tool"),
-        F.col("ts"),
+        ts_out.alias("ts"),
     )
+
+
+# q_burst_detector knobs: the dense rendering packs each conversation at
+# 3 s/turn so trailing-60s windows actually accumulate; min_repeats=5 both
+# fires (>= 5 repeats) and exercises the trim-on-emit mutation (> 5 -> trim
+# to 2 retained). Pinned here so the pytest asserts oracle row-equality on
+# EXACTLY the input the driver gate runs.
+BURST_DRIVER_STEP_S = 3
+BURST_DRIVER_MIN_REPEATS = 5
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -911,10 +935,13 @@ FROM s GROUP BY 1, 2
 
 def q_burst_detector(spark, sf_dir):
     """W3 burst detector (trim-on-emit stateful scan, applyInPandas) on the
-    transcript rendering of events — genuinely non-SQL-expressible (emission
-    mutates retained state); driver records rows-only, full routed-row
-    equality is pytest-verified against the python oracle."""
+    DENSE transcript rendering of events — genuinely non-SQL-expressible
+    (emission mutates retained state); driver records rows-only (non-vacuous:
+    hundreds of fires at sf0.001+), full row equality on this exact rendering
+    is pytest-verified against the python oracle
+    (tests/test_driver_rendering.py)."""
     _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.config import BurstConfig
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
     )
@@ -922,7 +949,10 @@ def q_burst_detector(spark, sf_dir):
         burst_anomalies,
     )
 
-    return burst_anomalies(parse_stage(events_as_transcripts(spark, sf_dir)))
+    tr = events_as_transcripts(spark, sf_dir, step_s=BURST_DRIVER_STEP_S)
+    return burst_anomalies(
+        parse_stage(tr), BurstConfig(min_repeats=BURST_DRIVER_MIN_REPEATS)
+    )
 
 
 def q_statistical_detector(spark, sf_dir):

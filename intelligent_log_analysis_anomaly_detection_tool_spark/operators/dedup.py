@@ -463,19 +463,22 @@ def simhash64(docs: DataFrame, text_col: str = "text",
 
 
 def hamming_near_dup_pairs(sim: DataFrame, id_col: str = "doc_id",
-                           max_hamming: int = 3, fp_bits: int = 64) -> DataFrame:
+                           max_hamming: int = 3, *, fp_bits: int) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance <= k, using the standard
     block-permutation trick (Manku/Jain/Das Sarma, WWW 2007): split the
     fingerprint into (k+1) blocks; by pigeonhole, any pair within distance k
     agrees on at least one block, so candidate pairs come from equi-joins on
     (block_idx, block_val) — never a cross product.
 
-    ``fp_bits`` must match the fingerprint width of ``sim`` (64 for
-    simhash64, 16 for the oracle-checkable simhash16). Block width is
-    fp_bits // (k+1): at 64 bits / k=3 that's 16-bit blocks (~65k bucket
-    values per block — selective); a 16-bit fingerprint at k=3 gives 4-bit
-    blocks (16 values — near-all-pairs candidates), so prefer simhash64
-    anywhere the candidate set matters."""
+    ``fp_bits`` is REQUIRED (no default) and must match the fingerprint width
+    of ``sim`` (64 for simhash64, 16 for the oracle-checkable simhash16): a
+    width larger than the data would extract all-zero high blocks, on which
+    every document agrees — silently degenerating the candidate join to
+    ~all-pairs (correct output after the bit_count filter, quadratic cost).
+    Block width is fp_bits // (k+1): at 64 bits / k=3 that's 16-bit blocks
+    (~65k bucket values per block — selective); a 16-bit fingerprint at k=3
+    gives 4-bit blocks (16 values — near-all-pairs candidates), so prefer
+    simhash64 anywhere the candidate set matters."""
     nblocks = max_hamming + 1
     if fp_bits < nblocks:
         raise ValueError(f"fp_bits={fp_bits} < blocks={nblocks}")

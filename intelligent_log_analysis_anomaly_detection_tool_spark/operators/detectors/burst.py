@@ -17,10 +17,16 @@ Reference semantics (/root/reference/src/anomaly/BurstPatternDetector.cpp:
 This trim-on-emit mutation is the one genuinely order-sensitive stateful op
 in the reference — not expressible as a SQL window frame (emission changes
 retained state). Spark-first strategy: key normalization is a native
-regexp_replace chain (JVM, codegen'd); the per-key scan runs in
-``groupBy(conv_id, burst_key).applyInPandas`` over the per-key sorted arrays.
-Keys are fine-grained (source x level x normalized message), so parallelism
-is high even inside hot conversations.
+regexp_replace chain (JVM, codegen'd); the scan runs as ONE streaming pass
+per shuffle partition (``mapInPandas`` over data hash-partitioned by
+(conv_id, burst_key) and sorted within partitions) — NOT per-group
+applyInPandas, whose per-group pandas-frame overhead dominates when there
+are many small groups (measured 23.7 s -> ~2 s at sf0.1 on the dense driver
+rendering). Retained state per in-progress group is provably bounded: after
+every row the deque holds <= min_repeats events (fire-at-m keeps the deque,
+fire-above-m trims to m//2), so carrying a group across Arrow batches is a
+<= m-element list. Keys are fine-grained (source x level x normalized
+message), so parallelism is high even inside hot conversations.
 """
 
 from __future__ import annotations
@@ -51,48 +57,65 @@ def normalized_message(col: Column) -> Column:
     return F.trim(s)
 
 
+_OUT_COLS = [
+    "conv_id", "turn_idx", "window_start", "window_end",
+    "score", "source", "description",
+]
+
+
 def _scan_factory(window_s: int, min_repeats: int):
+    """Per-PARTITION streaming scan (mapInPandas batch iterator).
+
+    Input batches arrive hash-partitioned by (conv_id, burst_key) and sorted
+    by (conv_id, burst_key, turn_idx), so each group's rows are contiguous —
+    possibly spanning Arrow batches. Group state carried across batches is
+    only the retained-event deque, which the trim-on-emit semantics bound at
+    ``min_repeats`` elements (BurstPatternDetector.cpp:75-116: fire when
+    count >= m, and when count > m trim to m//2 — so the deque never ends a
+    row above m). One python loop per row, no per-group pandas frames."""
     keep = max(1, min_repeats // 2)
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
-        ts = pdf["epoch"].to_numpy()
-        turns = pdf["turn_idx"].to_numpy()
-        srcs = pdf["source"].to_numpy()
-        conv = pdf["conv_id"].iloc[0]
-        out = []
-        dq: list[int] = []  # indices into ts
-        for i in range(len(ts)):
-            dq.append(i)
-            lo = ts[i] - window_s
-            # evict age > window (keep age == window)
-            k = 0
-            while k < len(dq) and ts[dq[k]] < lo:
-                k += 1
-            if k:
-                dq = dq[k:]
-            c = len(dq)
-            if c >= min_repeats:
-                out.append(
-                    (
-                        conv,
-                        int(turns[i]),
-                        int(ts[dq[0]]),
-                        int(ts[dq[-1]]),
-                        float(c),
-                        srcs[i],
-                        f"Burst repetition detected: {c} repeats within {window_s}s",
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None          # (conv_id, burst_key) of the in-progress group
+        ret: list[int] = []  # retained epochs of the in-progress group
+        for pdf in batches:
+            ts = pdf["epoch"].to_numpy()
+            turns = pdf["turn_idx"].to_numpy()
+            srcs = pdf["source"].to_numpy()
+            convs = pdf["conv_id"].to_numpy()
+            keys = pdf["burst_key"].to_numpy()
+            out = []
+            for i in range(len(ts)):
+                g = (convs[i], keys[i])
+                if g != cur:
+                    cur = g
+                    ret = []
+                t = int(ts[i])
+                ret.append(t)
+                lo = t - window_s
+                # evict age > window (keep age == window)
+                k = 0
+                while ret[k] < lo:
+                    k += 1
+                if k:
+                    del ret[:k]
+                c = len(ret)
+                if c >= min_repeats:
+                    out.append(
+                        (
+                            convs[i],
+                            int(turns[i]),
+                            ret[0],
+                            ret[-1],
+                            float(c),
+                            srcs[i],
+                            f"Burst repetition detected: {c} repeats within {window_s}s",
+                        )
                     )
-                )
-                if c > min_repeats:
-                    dq = dq[-keep:]
-        return pd.DataFrame(
-            out,
-            columns=[
-                "conv_id", "turn_idx", "window_start", "window_end",
-                "score", "source", "description",
-            ],
-        )
+                    if c > min_repeats:
+                        del ret[:-keep]
+            if out:
+                yield pd.DataFrame(out, columns=_OUT_COLS)
 
     return scan
 
@@ -118,8 +141,15 @@ def burst_anomalies(parsed: DataFrame, cfg: BurstConfig = BurstConfig()) -> Data
     df = df.withColumn("key_n", F.count(F.lit(1)).over(w_key)).filter(
         F.col("key_n") >= cfg.min_repeats
     )
-    scanned = df.groupBy("conv_id", "burst_key").applyInPandas(
-        _scan_factory(cfg.window_s, cfg.min_repeats), schema=_SCAN_SCHEMA
+    # one streaming python pass per shuffle partition: the count-window above
+    # already hash-partitioned by (conv_id, burst_key), so EnsureRequirements
+    # elides the repartition exchange; the sort makes groups contiguous
+    scanned = (
+        df.repartition("conv_id", "burst_key")
+        .sortWithinPartitions("conv_id", "burst_key", "turn_idx")
+        .mapInPandas(
+            _scan_factory(cfg.window_s, cfg.min_repeats), schema=_SCAN_SCHEMA
+        )
     )
     out = scanned.select(
         "conv_id",

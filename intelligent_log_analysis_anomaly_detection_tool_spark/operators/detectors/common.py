@@ -45,8 +45,24 @@ def older_than_window(window_s: int, *part_cols: str) -> WindowSpec:
 
 
 def trailing_count(window_s: int, *part_cols: str) -> Column:
-    """Count of retained rows in the trailing event-time window (inclusive)."""
+    """Count of retained rows in the trailing event-time window (inclusive).
+
+    Rank is FILE-order (turn_idx) — the reference's arrival-order semantics —
+    and eviction is epoch-order; identical under the engine's documented
+    per-conversation ts-monotonicity invariant (module docstring)."""
     rn = F.row_number().over(file_order_window(*part_cols))
+    older = F.count(F.lit(1)).over(older_than_window(window_s, *part_cols))
+    return rn - older
+
+
+def trailing_count_event_time(window_s: int, *part_cols: str) -> Column:
+    """Event-time variant of ``trailing_count``: rank by (epoch, turn_idx)
+    instead of file order, so the rank-minus-evicted identity holds even when
+    timestamps arrive out of file order. Used by the THRESHOLD rule, which is
+    an explicit event-time respecification (enrich.rule_matches); identical
+    to ``trailing_count`` on monotonic input."""
+    w_ev = Window.partitionBy(*part_cols).orderBy("epoch", "turn_idx")
+    rn = F.row_number().over(w_ev)
     older = F.count(F.lit(1)).over(older_than_window(window_s, *part_cols))
     return rn - older
 

@@ -100,8 +100,12 @@ def write_all(result: dict, routing: DataFrame, out_dir: str) -> dict:
     t0 = time.time()
 
     parsed = result["parsed"]
-    # three of the five sinks consume the anomaly union — materialize it once
+    # three of the five sinks consume the anomaly union — materialize it once,
+    # EAGERLY: the count below fills the cache before the concurrent writers
+    # start, so they read cached blocks instead of racing to compute the
+    # not-yet-materialized union in parallel (duplicated work)
     anomalies = result["anomalies"].persist()
+    anomalies.count()
     routed = route_anomalies(anomalies, routing)
 
     from .plans.pipeline import report_order
@@ -136,28 +140,33 @@ def write_all(result: dict, routing: DataFrame, out_dir: str) -> dict:
             "header", True
         ).csv(f"{out_dir}/report_csv")
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
-        futs = [ex.submit(f) for f in (_w_turns, _w_routed, _w_minutes,
-                                       _w_json, _w_csv)]
-        for f in futs:
-            f.result()
+    try:
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            futs = [ex.submit(f) for f in (_w_turns, _w_routed, _w_minutes,
+                                           _w_json, _w_csv)]
+            for f in futs:
+                f.result()
 
-    # per-sink counts (the "per-sink aggregate counts" correctness surface)
-    sink_counts = {
-        r["sink_name"]: r["n"]
-        for r in routed.groupBy("sink_name").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    parsed_n = parsed.filter(~F.col("malformed")).count()
-    malformed_n = parsed.filter(F.col("malformed")).count()
-    metrics = {
-        "run_time_iso": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()),
-        "parsed": parsed_n,
-        "malformed": malformed_n,
-        "emitted_anomalies": sum(sink_counts.values()),
-        "sink_counts": sink_counts,
-        "wall_ms": int((time.time() - t0) * 1000),
-    }
-    with open(f"{out_dir}/run_metrics.json", "w") as fh:
-        json.dump(metrics, fh, indent=2)
-    anomalies.unpersist()
+        # per-sink counts (the "per-sink aggregate counts" correctness surface)
+        sink_counts = {
+            r["sink_name"]: r["n"]
+            for r in routed.groupBy("sink_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        parsed_n = parsed.filter(~F.col("malformed")).count()
+        malformed_n = parsed.filter(F.col("malformed")).count()
+        metrics = {
+            "run_time_iso": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()),
+            "parsed": parsed_n,
+            "malformed": malformed_n,
+            "emitted_anomalies": sum(sink_counts.values()),
+            "sink_counts": sink_counts,
+            "wall_ms": int((time.time() - t0) * 1000),
+        }
+        with open(f"{out_dir}/run_metrics.json", "w") as fh:
+            json.dump(metrics, fh, indent=2)
+    finally:
+        # a failed sink write must not leak the cached union
+        anomalies.unpersist()
     return metrics

@@ -261,7 +261,15 @@ def run_conv(conv_id: str, rows: list[tuple[int, str]], cfg=None) -> ConvResult:
     """Simulate the reference main loop over one conversation.
 
     rows: [(turn_idx, text)] already sorted by turn_idx.
+
+    cfg: optional dict of overrides for the reference's compiled-in constants.
+    Supported: ``burst_min_repeats`` (default 20; the reference's trim-on-emit
+    keeps min_repeats//2 events, i.e. 10 at the default — the generalization
+    matches BurstConfig semantics in the engine).
     """
+    cfg = cfg or {}
+    burst_min = int(cfg.get("burst_min_repeats", 20))
+    burst_keep = max(1, burst_min // 2)
     r = ConvResult()
 
     # W1 spike state per source (SpikeDetector.cpp:24-85)
@@ -436,7 +444,7 @@ def run_conv(conv_id: str, rows: list[tuple[int, str]], cfg=None) -> ConvResult:
         while bq and ts - bq[0] > 60:
             bq.popleft()
         c = len(bq)
-        if c >= 20:
+        if c >= burst_min:
             r.anomalies.append(dict(
                 conv_id=conv_id, turn_idx=turn_idx, detector="burst",
                 anomaly_type=T_SEQ, severity=S_HIGH,
@@ -444,8 +452,8 @@ def run_conv(conv_id: str, rows: list[tuple[int, str]], cfg=None) -> ConvResult:
                 source=source,
                 description=f"Burst repetition detected: {c} repeats within 60s",
             ))
-            if len(bq) > 20:
-                while len(bq) > 10:
+            if len(bq) > burst_min:
+                while len(bq) > burst_keep:
                     bq.popleft()
             fired += 1
 

@@ -117,6 +117,44 @@ def test_threshold_rule_event_time(spark):
     assert (got["rule_id"] == 4).all()
 
 
+def test_threshold_rule_out_of_order_timestamps(spark):
+    """THRESHOLD on NON-monotonic per-conv timestamps (ADVICE r2): the
+    trailing count must rank by epoch, not file order, so a late-arriving
+    early-timestamp line neither inflates nor deflates the window count.
+    Conv 'ooo': file order has second 40 arriving before second 30 — in
+    event time the trailing-60s count still reaches 5 exactly once, at the
+    row whose epoch is 40 (turn_idx 3, where 4 earlier-or-equal-epoch events
+    are within 60 s)."""
+    import datetime
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.enrich import (
+        rule_matches,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.schema import (
+        RULES_SCHEMA,
+    )
+
+    def ts(s):
+        return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=s)
+
+    # file order: 0, 10, 20, 40, 30  (last two swapped in event time)
+    rows = [
+        ("ooo", i, False, None, 2, "svc", "msg", ts(s))
+        for i, s in enumerate([0, 10, 20, 40, 30])
+    ]
+    parsed = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, malformed boolean, error string, "
+        "level_ord int, source string, message string, ts_parsed timestamp",
+    )
+    cfg_rows = rules_from_config(parse_config_text("rule.4 = flood THRESHOLD any\n"))
+    rules = spark.createDataFrame(cfg_rows, RULES_SCHEMA)
+    got = rule_matches(parsed, rules).toPandas()
+    # event-time order is 0,10,20,30,40 -> count reaches 5 at epoch 40,
+    # which is the row with turn_idx 3
+    assert set(zip(got["conv_id"], got["turn_idx"])) == {("ooo", 3)}
+
+
 def test_extended_rules_mode(spark, fixture_df, oracle_result):
     """rules_faithful=False wires rule matches into the online anomaly union;
     faithful mode (default) contributes zero rows (F9)."""
