@@ -4,17 +4,30 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
-The headline number is the full parse->enrich->route->aggregate pipeline wall
-time over a transcript rendering of the events table (the engine's real DAG:
-Arrow pandas-UDF parse, five detector branches, minute pivot, routing join),
-plus per-operator query timings. Scaling-efficiency runs (local[8] vs
-local[32]) live in bench/scaling.py and are reported in BENCH.md.
+Methodology (cold-JVM, VERDICT r2 item 2):
+
+- ``pipeline_total`` (the headline) is the full parse->enrich->route->
+  aggregate pipeline with the two post-parse branches submitted concurrently
+  (the engine's real DAG — what sinks.write_all and bench/scaling.py run),
+  measured in a FRESH child JVM so no prior pass has warmed the JIT or left
+  the parsed frame cached. Input preparation (rendering + persist + count of
+  the transcript frame) happens before the timer, same as the parent pass.
+- ``parse``/``detect_online``/``detect_offline``/``aggregate_minutes`` and
+  their ``pipeline_stage_sum`` are the sequential per-stage diagnostics,
+  measured cold in the parent JVM (first Spark work after input prep) — the
+  same methodology as BENCH_r01/r02, so the stage-sum series is comparable
+  across rounds.
+- per-operator query timings run last (warm JVM), same as r1/r2.
+
+Scaling-efficiency runs (local[8] vs local[32]) live in bench/scaling.py and
+are reported in BENCH.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -28,7 +41,79 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _run_concurrent_pipeline(spark, tr) -> float:
+    """The real job shape: parse once, then the online->minutes chain and the
+    offline branch submitted concurrently. Returns wall seconds."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
+        minute_stats,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
+        offline_anomalies,
+        online_anomalies,
+    )
+
+    t0 = time.time()
+    parsed = parse_stage(tr).persist()
+    parsed.count()
+    online = online_anomalies(parsed).persist()
+
+    def _online_then_minutes():
+        online.count()
+        _noop_write(minute_stats(parsed, online))
+
+    def _offline():
+        _noop_write(offline_anomalies(parsed))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in [ex.submit(_online_then_minutes), ex.submit(_offline)]:
+            f.result()
+    wall = time.time() - t0
+    parsed.unpersist()
+    online.unpersist()
+    return wall
+
+
+def _child_main() -> None:
+    """Fresh-JVM cold headline: prepare input, run the concurrent DAG once,
+    print one JSON line. Invoked by the parent via subprocess."""
+    from intelligent_log_analysis_anomaly_detection_tool_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="bench-cold",
+        shuffle_partitions=max(8, int(CPUS)),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tr = entrymod.events_as_transcripts(spark, SF_DIR).persist()
+    rows = tr.count()
+    wall = _run_concurrent_pipeline(spark, tr)
+    tr.unpersist()
+    print(json.dumps({"pipeline_total": round(wall, 3), "rows": rows}))
+
+
 def main() -> None:
+    # --- HEADLINE first: cold fresh-JVM concurrent pipeline (child process),
+    # run BEFORE this process creates its own SparkContext so the child has
+    # the box to itself (a live parent JVM measurably contends: +40% wall) ---
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    child_line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    pipeline_sec = None
+    if proc.returncode == 0 and child_line:
+        pipeline_sec = json.loads(child_line[-1])["pipeline_total"]
+    else:
+        sys.stderr.write(f"bench child failed: {proc.stderr[-2000:]}\n")
+
     from intelligent_log_analysis_anomaly_detection_tool_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -42,7 +127,6 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # --- headline: full pipeline over transcripts rendered from events ---
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
     )
@@ -54,7 +138,8 @@ def main() -> None:
         online_anomalies,
     )
 
-    tr = events_rows = None
+    # --- sequential per-stage diagnostics, COLD (same methodology as r1/r2:
+    # first Spark work in this JVM after input prep) ---
     t0 = time.time()
     tr = entrymod.events_as_transcripts(spark, SF_DIR)
     tr = tr.persist()
@@ -88,31 +173,14 @@ def main() -> None:
     parsed.unpersist()
     online.unpersist()
 
-    # headline: the REAL job shape — fresh end-to-end wall with the two
-    # post-parse branches submitted concurrently (same DAG bench/scaling.py
-    # measures); the sequential per-stage numbers above stay as diagnostics
-    from concurrent.futures import ThreadPoolExecutor
-
-    t0 = time.time()
-    parsed2 = parse_stage(tr).persist()
-    parsed2.count()
-    online2 = online_anomalies(parsed2).persist()
-
-    def _online_then_minutes():
-        online2.count()
-        _noop_write(minute_stats(parsed2, online2))
-
-    def _offline():
-        _noop_write(offline_anomalies(parsed2))
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        for f in [ex.submit(_online_then_minutes), ex.submit(_offline)]:
-            f.result()
-    pipeline_sec = time.time() - t0
-    timings["pipeline_total"] = pipeline_sec
-    parsed2.unpersist()
-    online2.unpersist()
+    # --- warm concurrent pass (diagnostic: isolates DAG-overlap gain from
+    # JIT/caching; r2's headline used this methodology) ---
+    timings["pipeline_total_warm"] = round(_run_concurrent_pipeline(spark, tr), 3)
     tr.unpersist()
+
+    if pipeline_sec is None:  # child failed — fall back to the warm number
+        pipeline_sec = timings["pipeline_total_warm"]
+    timings["pipeline_total"] = pipeline_sec
 
     # --- per-operator paired queries (same set the correctness gate runs) ---
     for name, fn in entrymod.queries().items():
@@ -129,9 +197,14 @@ def main() -> None:
         "rows": events_rows,
         "throughput_rows_per_sec": round(events_rows / pipeline_sec, 1),
         "cpus": CPUS,
+        "methodology": "cold fresh-JVM concurrent DAG (child process); "
+        "stage timings cold-sequential in parent (r1/r2-comparable)",
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        _child_main()
+    else:
+        main()
