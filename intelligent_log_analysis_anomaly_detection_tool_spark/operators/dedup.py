@@ -167,96 +167,158 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     return pairs.distinct()
 
 
+def choose_jaccard_plan(n_vocab: int, n_docs: int, count_join_rows: int,
+                        dense_vocab_max: int = 65536,
+                        dense_block_rows_cap: int = 4096,
+                        dense_max_blocks: int = 32,
+                        count_join_budget: int = 50_000_000):
+    """Pick the physical strategy for exact jaccard from measured corpus
+    stats. Pure function (unit-testable). Returns (plan, n_blocks).
+
+    - ``dense``: blocked-bitset matmul. Chosen when the vocabulary fits a
+      bitset AND the corpus fits <= dense_max_blocks blocks of
+      <= dense_block_rows_cap docs. block_rows is bounded BOTH by the bitset
+      width (~64 MB float32 per block) and by an output-matrix budget: a
+      block-pair task materializes O(block_rows^2) intersection/union
+      matrices, so an uncapped block_rows (small vocab, huge corpus) would
+      OOM the executor — the r2 advisor's finding. At the 4096 cap the
+      per-task peak is ~350 MB.
+    - ``count_join``: shared-shingle pair counting. ``count_join_rows`` is
+      the EXACT number of pair rows the join materializes before the groupBy
+      (sum over shingles of df*(df-1)/2); chosen only under budget.
+    - ``prefix``: Bayardo/Chaudhuri prefix filtering — the lossless
+      fallback when a hot shingle would make the count-join quadratic
+      (one shingle in 50% of docs => ~n_docs^2/8 join rows)."""
+    block_rows = max(512, min((64 << 20) // (max(n_vocab, 1) * 4),
+                              dense_block_rows_cap))
+    n_blocks = max(-(-n_docs // block_rows), min(8, max(1, n_docs // 64)))
+    if n_vocab < dense_vocab_max and n_blocks <= dense_max_blocks:
+        return "dense", n_blocks
+    if count_join_rows <= count_join_budget:
+        return "count_join", n_blocks
+    return "prefix", n_blocks
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 2,
                         threshold: float = 0.2,
-                        prefix_filter: bool = False,
-                        dense_vocab_max: int = 65536) -> DataFrame:
+                        plan: str = "auto",
+                        dense_vocab_max: int = 65536,
+                        count_join_budget: int = 50_000_000,
+                        eager: bool = True) -> DataFrame:
     """Exact n-gram Jaccard pairs with jaccard >= threshold.
 
-    Adaptive physical strategy (identical output on every path):
+    Adaptive physical strategy (identical output on every path; see
+    choose_jaccard_plan for the decision rule and tests/test_dataops.py for
+    the three-way output-equality check):
 
-    - default: measure the distinct-shingle count (one cheap aggregation).
-      If the vocabulary fits a bitset (< ``dense_vocab_max``), the corpus is
-      DENSE — every doc-pair shares shingles, candidate joins degenerate to
-      all-pairs — so use the blocked-bitset plan: docs hashed into B blocks,
-      block-pairs cogrouped, intersections computed as one vectorized numpy
-      bool-matmul per block-pair (no driver collect; each task holds two
-      blocks). Otherwise (sparse, Zipf vocabulary — the real-corpus case)
-      fall back to the shared-shingle count-join on 64-bit shingle hashes
-      (narrow join keys; map-side partial agg). When the shared-shingle pair
-      count bites at corpus scale, the right tool is minhash-LSH
-      (lsh_candidate_pairs) for candidates + exact verify.
-    - ``prefix_filter=True``: PREFIX FILTERING for sparse corpora at high
-      thresholds — under a global rare-first token order, J(A,B) >= t implies
-      the first |X| - ceil(t·|X|) + 1 shingles of each side share a token
-      (|A∩B| >= t·|A∪B| >= t·|X|), so the join only touches rare prefixes;
-      candidates are verified exactly via array_intersect. (Measured slower
-      than both other paths on the synthetic corpus: at t=0.2 the prefix is
-      ~80% of each doc, so it prunes little while paying two windows.)"""
-    if not prefix_filter:
-        from pyspark import StorageLevel
+    - ``dense`` (small vocabulary): every doc-pair shares shingles and
+      candidate joins degenerate to all-pairs, so use the blocked-bitset
+      plan — docs hashed into B blocks, block-pairs cogrouped, intersections
+      computed as one vectorized numpy bool-matmul per block-pair (no driver
+      collect; each task holds two bounded blocks).
+    - ``count_join`` (sparse vocabulary, no hot shingles): join docs sharing
+      a shingle on 64-bit hash keys, count shared shingles per pair. Exact
+      cost is known up front: sum over shingles of df*(df-1)/2 pair rows.
+    - ``prefix`` (sparse + hot shingles): PREFIX FILTERING (Chaudhuri/Ganti/
+      Kaushik ICDE'06, Bayardo/Ma/Srikant WWW'07) on shingle HASHES — under
+      a global rare-first order, J(A,B) >= t implies the first
+      |X| - ceil(t*|X|) + 1 shingles of each side share one, so the candidate
+      join never touches the hottest shingles (they sort to the suffix);
+      candidates are verified exactly via array_intersect. Lossless, unlike
+      a df-cap, and immune to the one-shingle-in-half-the-corpus blowup:
+      count_join would materialize ~n^2/8 rows there, prefix ~0.
 
-        # materialize the exploded (doc, shingle-hash) stream ONCE — the
-        # shingle expression is the dominant per-pass cost and both the stats
-        # pass and either physical path re-read it (Spark's ContextCleaner
-        # unpersists when the plan is no longer referenced). Hash-identity
-        # shingles: no string building, 64-bit keys in every exchange.
-        sh = docs.select(
-            F.col(id_col),
-            F.explode(word_shingle_hashes(F.col(text_col), shingle_n)).alias("shh"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        st = sh.agg(
-            F.countDistinct("shh").alias("v"), F.countDistinct(id_col).alias("d")
-        ).collect()[0]
-        n_vocab, n_docs = st["v"], st["d"]
-        # size blocks so a block's dense float32 matrix stays ~64 MB, and
-        # keep at least ~8 blocks (36 block-pair tasks) so the matmul work
-        # parallelizes instead of landing in one task
-        block_rows = max(512, (64 << 20) // (max(n_vocab, 1) * 4))
-        n_blocks = max(-(-n_docs // block_rows),
-                       min(8, max(1, n_docs // 64)))
-        id_type = docs.schema[id_col].dataType.simpleString()
-        if n_vocab < dense_vocab_max and n_blocks <= 32:
-            return _jaccard_blocked_bitset(sh, id_col, threshold, n_blocks,
-                                           id_type)
-        return _jaccard_count_join(sh, id_col, threshold)
+    ``plan`` forces a specific path (tests); ``eager=True`` materializes the
+    result via localCheckpoint and unpersists the shared shingle cache so
+    repeated calls don't accumulate cached blocks for the session (r2
+    advisor finding)."""
+    from pyspark import StorageLevel
+
+    # materialize the exploded (doc, shingle-hash) stream ONCE — the
+    # shingle expression is the dominant per-pass cost and the stats pass
+    # and every physical path re-read it. Hash-identity shingles: no string
+    # building, 64-bit keys in every exchange.
     sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
-    # global rare-first order: (doc frequency asc, shingle asc)
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(freq, "sh")
-    w_doc = Window.partitionBy(id_col).orderBy("df", "sh")
+        F.col(id_col),
+        F.explode(word_shingle_hashes(F.col(text_col), shingle_n)).alias("shh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
+    st = freq.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pair_rows"),
+    ).collect()[0]
+    n_vocab, pair_rows = st["v"], int(st["pair_rows"] or 0)
+    n_docs = sh.select(id_col).distinct().count()
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    if plan == "auto":
+        plan, n_blocks = choose_jaccard_plan(
+            n_vocab, n_docs, pair_rows, dense_vocab_max,
+            count_join_budget=count_join_budget,
+        )
+    else:
+        _, n_blocks = choose_jaccard_plan(n_vocab, n_docs, pair_rows,
+                                          dense_vocab_max)
+
+    if plan == "dense":
+        out = _jaccard_blocked_bitset(sh, id_col, threshold, n_blocks, id_type)
+    elif plan == "count_join":
+        out = _jaccard_count_join(sh, id_col, threshold)
+    elif plan == "prefix":
+        out = _jaccard_prefix_hash(sh, freq, id_col, threshold)
+    else:
+        raise ValueError(f"unknown jaccard plan: {plan!r}")
+
+    if eager:
+        # pin the (small) result, then drop the big shingle cache — without
+        # this the MEMORY_AND_DISK blocks live until the driver GCs the plan
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist(blocking=False)
+    return out
+
+
+def _jaccard_prefix_hash(sh: DataFrame, freq: DataFrame, id_col: str,
+                         threshold: float) -> DataFrame:
+    """Lossless prefix-filtered exact jaccard on 64-bit shingle hashes.
+
+    Correctness: order every doc's shingles by (global df asc, hash asc) and
+    keep the first |X| - ceil(t*|X|) + 1 as the PREFIX. If J(A,B) >= t then
+    |A∩B| >= t*max(|A|,|B|), so fewer than |X| - t*|X| + 1 shingles of X can
+    be outside the intersection — i.e. the prefix of each side must contain
+    at least one SHARED shingle (the standard prefix-filter bound). The
+    candidate equi-join therefore only touches the rare end of the df
+    distribution; verification recomputes the exact intersection from the
+    full per-doc hash sets."""
+    ranked = sh.join(freq, "shh")
+    w_doc = Window.partitionBy(id_col).orderBy("df", "shh")
     w_sz = Window.partitionBy(id_col)
     ranked = ranked.withColumn("pos", F.row_number().over(w_doc)).withColumn(
         "sz", F.count(F.lit(1)).over(w_sz)
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "sh")
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "shh")
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+        a.join(b, (F.col("a.shh") == F.col("b.shh"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
 
-    sets = docs.select(
-        F.col(id_col),
-        F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("arr"),
-    ).withColumn("sz", F.size("arr"))
+    sets = sh.groupBy(id_col).agg(F.collect_set("shh").alias("arr"))
+    sets = sets.withColumn("sz", F.size("arr"))
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"),
                      F.col("sz").alias("sz_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"),
                      F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
-    out = (
+    return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("inter", inter)
+        .withColumn("inter", inter.cast("long"))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
@@ -264,7 +326,6 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
-    return out
 
 
 def _jaccard_blocked_bitset(sh: DataFrame, id_col: str, threshold: float,

@@ -206,3 +206,86 @@ def test_lsh_pairs_catch_high_jaccard(spark, docs):
     pairs = lsh_candidate_pairs(docs).toPandas()
     if dup_groups:
         assert len(pairs) >= dup_groups
+
+
+# --- jaccard adaptive plan (VERDICT r2 item 3 / ADVICE r2 item 1) ----------
+
+
+def test_choose_jaccard_plan():
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        choose_jaccard_plan,
+    )
+
+    # small vocab, small corpus -> dense
+    assert choose_jaccard_plan(931, 5000, 36_500_000)[0] == "dense"
+    # small vocab but HUGE corpus: block_rows capped at 4096, so 32 blocks
+    # cover only 131k docs -> must NOT stay dense (advisor's OOM shape);
+    # falls to count_join/prefix by pair-row budget
+    plan, _ = choose_jaccard_plan(1000, 500_000, 10_000_000)
+    assert plan == "count_join"
+    plan, _ = choose_jaccard_plan(1000, 500_000, 10**12)
+    assert plan == "prefix"
+    # big vocab, cheap join -> count_join
+    assert choose_jaccard_plan(10**7, 10**6, 1_000_000)[0] == "count_join"
+    # big vocab, hot shingle (50% df => n^2/8 pair rows) -> prefix
+    assert choose_jaccard_plan(10**7, 10**6, 10**6 * 10**6 // 8)[0] == "prefix"
+
+
+def test_jaccard_three_plans_identical(spark, docs):
+    """dense / count_join / prefix must produce identical exact results."""
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    outs = {}
+    for plan in ("dense", "count_join", "prefix"):
+        pdf = ngram_jaccard_pairs(
+            docs, shingle_n=2, threshold=0.2, plan=plan
+        ).toPandas()
+        outs[plan] = pdf.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    assert len(outs["dense"]) > 0
+    pd.testing.assert_frame_equal(outs["dense"], outs["count_join"])
+    pd.testing.assert_frame_equal(outs["dense"], outs["prefix"])
+
+
+def test_jaccard_hot_shingle_adversarial(spark):
+    """One shingle shared by 50% of docs (the count-join's quadratic shape):
+    auto must pick the prefix plan under a tight budget and return exactly
+    the count-join's (budget-ignoring) output."""
+    import pandas as pd
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        choose_jaccard_plan,
+        ngram_jaccard_pairs,
+    )
+
+    n = 400
+    rows = []
+    for i in range(n):
+        # unique tail so docs are not duplicates; every even doc carries the
+        # hot phrase "hot shingle here"
+        base = f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f"
+        if i % 2 == 0:
+            base = "hot shingle here " + base
+        if i % 97 == 0 and i > 0:
+            # a few true near-dups of doc i-1
+            base = base.replace(f"u{i}f", f"u{i-1}f").replace(
+                f"u{i}e", f"u{i-1}e"
+            )
+        rows.append((i, base))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # with a tight budget, the hot shingle's df=200 alone contributes
+    # 200*199/2 = 19900 pair rows -> auto must choose prefix
+    got = ngram_jaccard_pairs(
+        docs, shingle_n=2, threshold=0.2, count_join_budget=10_000
+    ).toPandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    want = ngram_jaccard_pairs(
+        docs, shingle_n=2, threshold=0.2, plan="count_join"
+    ).toPandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    # and the decision rule itself picks prefix for this shape
+    assert choose_jaccard_plan(
+        n_vocab=70000, n_docs=n, count_join_rows=19900,
+        count_join_budget=10_000,
+    )[0] == "prefix"
