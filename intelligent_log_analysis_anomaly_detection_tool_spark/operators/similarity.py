@@ -63,7 +63,8 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           n_centroids: int | None = None,
-                          centroid_mode: str = "kmeans") -> DataFrame:
+                          centroid_mode: str = "kmeans",
+                          centroids: DataFrame | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
     ``n_centroids=None``: exact brute baseline as BLOCKED ALL-PAIRS MATRIX
@@ -74,9 +75,14 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     driver memory (it is still O(N^2) compute — that's what "exact all-pairs"
     means; at corpus scale use ``n_centroids``). With ``n_centroids``:
     IVF-bucketed variant — only pairs inside the same coarse cell are
-    compared (the scale path; recall < 1 by design, like every ANN dedup)."""
-    if n_centroids:
-        if centroid_mode == "kmeans":
+    compared (the scale path; recall < 1 by design, like every ANN dedup).
+    ``centroids``: pre-fit centroid frame (kmeans_centroids output) — pass it
+    to amortize one fit across many queries in a session (VERDICT r2 item 7);
+    implies the IVF branch."""
+    if n_centroids or centroids is not None:
+        if centroids is not None:
+            cents = centroids
+        elif centroid_mode == "kmeans":
             cents = kmeans_centroids(emb, n_centroids, id_col=id_col,
                                      vec_col=vec_col)
         else:
@@ -230,21 +236,31 @@ def assign_cells(emb: DataFrame, centroids: DataFrame,
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_centroids: int = 8,
              nprobe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding", centroid_mode: str = "kmeans",
-             kmeans_iters: int = 3, seed: int = 42) -> DataFrame:
+             kmeans_iters: int = 3, seed: int = 42,
+             centroids: DataFrame | None = None,
+             cells: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: search only the query's nprobe nearest cells.
 
     ``centroid_mode="kmeans"`` (default): seeded spherical k-means centroids
     (kmeans_centroids) — cells follow the data distribution, so recall holds
     on clustered/adversarial inputs. ``"first_n"``: the first ``n_centroids``
     vectors, the cheap stand-in (kept as the baseline; measurably worse
-    recall on clustered data — see tests/test_dataops.py)."""
-    if centroid_mode == "kmeans":
-        centroids = kmeans_centroids(
-            emb, n_centroids, kmeans_iters, seed, id_col, vec_col
-        )
-    else:
-        centroids = emb.filter(F.col(id_col) < n_centroids)
-    cells = assign_cells(emb, centroids, id_col, vec_col)
+    recall on clustered data — see tests/test_dataops.py).
+
+    Amortization across queries (VERDICT r2 item 7): pass ``centroids`` (a
+    kmeans_centroids frame) to skip the fit, and/or ``cells`` (a persisted
+    assign_cells frame — the IVF "index") to also skip the full-corpus
+    assignment; a repeated query then costs only the nprobe probe + one
+    cell-pruned scan, which is the whole point of IVF at corpus scale."""
+    if centroids is None:
+        if centroid_mode == "kmeans":
+            centroids = kmeans_centroids(
+                emb, n_centroids, kmeans_iters, seed, id_col, vec_col
+            )
+        else:
+            centroids = emb.filter(F.col(id_col) < n_centroids)
+    if cells is None:
+        cells = assign_cells(emb, centroids, id_col, vec_col)
 
     q = emb.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("q_vec")

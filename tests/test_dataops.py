@@ -289,3 +289,32 @@ def test_jaccard_hot_shingle_adversarial(spark):
         n_vocab=70000, n_docs=n, count_join_rows=19900,
         count_join_budget=10_000,
     )[0] == "prefix"
+
+
+def test_ivf_centroid_reuse_skips_fit(spark, emb, monkeypatch):
+    """VERDICT r2 item 7: a second IVF query in a session can reuse the fit
+    centroids (and the assigned cells) — no k-means refit, same results."""
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators import (
+        similarity,
+    )
+
+    cents = similarity.kmeans_centroids(emb, 8)
+    cells = similarity.assign_cells(emb, cents).persist()
+    cells.count()
+
+    want = similarity.ivf_topk(emb, query_vec_id=0, k=10, n_centroids=8,
+                               nprobe=2).toPandas()
+
+    def _boom(*a, **k):
+        raise AssertionError("kmeans_centroids re-fit despite reuse")
+
+    monkeypatch.setattr(similarity, "kmeans_centroids", _boom)
+    got = similarity.ivf_topk(emb, query_vec_id=0, k=10, nprobe=2,
+                              centroids=cents, cells=cells).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+
+    got2 = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.4, centroids=cents
+    ).toPandas()
+    assert {"vec_a", "vec_b", "cosine"} == set(got2.columns)
+    cells.unpersist()

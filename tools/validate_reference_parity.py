@@ -184,6 +184,87 @@ def _check_console(parsed, engine_anomalies: int) -> None:
             assert by_count_ref[c] == by_count_eng[c], (c, by_count_ref[c], by_count_eng[c])
     print(f"console: top-sources table matches ({len(ref_top)} rows, "
           f"tie-grouped)")
+    _check_console_anomaly_blocks(parsed, txt)
+
+
+def _check_console_anomaly_blocks(parsed, txt: str) -> None:
+    """S3 anomaly-listing diff (ConsoleReporter.cpp:119-135, 250-293): the
+    reference prints the FIRST `limit` anomalies in insertion (file) order,
+    each as a 3-5 line block:
+
+        [sev=<int>] [type=<int>] [score=%.4f] <source|(unknown)> <HH:MM:SS>
+          <severity bar: full '=' + empty '.', width 20>
+          <description>
+          Window: ... -> ...        (VERBOSE only)
+
+    severityToNormalized (cpp:34-41): clamp(sev/4, 0, 1); bar full chars =
+    clamp(int(norm*20 + 0.5), 0, 20). Insertion order within a line follows
+    the main-loop detector order (parser | spike -> statistical -> burst ->
+    rare_ip, main.cpp:283-360). Parser anomalies carry WALL-CLOCK windows in
+    the reference (main.cpp:199-219, nondeterministic) so their HH:MM:SS is
+    excluded; everything else is compared field-for-field."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
+        online_anomalies,
+    )
+
+    m = re.search(r"Anomalies \(showing (\d+) of (\d+)\)", txt)
+    assert m, "console anomaly section not found"
+    limit = int(m.group(1))
+    body = txt.split(m.group(0), 1)[1]
+    block_re = re.compile(
+        r"\[sev=(\d+)\] \[type=(\d+)\] \[score=([\d.]+)\] (\S+) (\d\d:\d\d:\d\d)\n"
+        r"  ([=.]{20})\n"
+        r"  (.+)\n",
+    )
+    blocks = block_re.findall(body)[:limit]
+    assert len(blocks) == limit, (len(blocks), limit)
+
+    rank = F.when(F.col("detector") == "parser", 0).otherwise(
+        F.when(F.col("detector") == "spike", 1)
+        .when(F.col("detector") == "statistical", 2)
+        .when(F.col("detector") == "burst", 3)
+        .when(F.col("detector") == "rare_ip", 4)
+        .otherwise(9)
+    )
+    eng = (
+        online_anomalies(parsed)
+        .withColumn("rk", rank)
+        .orderBy("turn_idx", "rk")
+        .limit(limit)
+        .select(
+            "detector", "severity", "anomaly_type", "score", "source",
+            F.date_format("window_end", "HH:mm:ss").alias("hms"),
+            "description",
+        )
+        .collect()
+    )
+    assert len(eng) == limit
+    mism = 0
+    for (sev, typ, score, src, hms, bar, desc), row in zip(blocks, eng):
+        norm = 0.0 if row["severity"] <= 0 else min(row["severity"] / 4.0, 1.0)
+        full = max(0, min(int(norm * 20 + 0.5), 20))
+        want_bar = "=" * full + "." * (20 - full)
+        ok = (
+            int(sev) == row["severity"]
+            and int(typ) == row["anomaly_type"]
+            and score == f"{row['score']:.4f}"
+            and src == (row["source"] if row["source"] is not None else "(unknown)")
+            and bar == want_bar
+            and desc == row["description"]
+            and (row["detector"] == "parser" or hms == row["hms"])
+        )
+        if not ok:
+            mism += 1
+            print("console block mismatch:", (sev, typ, score, src, hms, bar,
+                                              desc), dict(row.asDict()))
+    assert mism == 0
+    print(f"console: first-{limit} anomaly blocks match "
+          f"(sev/type/score/source/bar/description; parser wall-clock "
+          f"timestamps excluded by design)")
 
 
 if __name__ == "__main__":
