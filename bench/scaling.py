@@ -57,8 +57,13 @@ def _measure(cpus: int) -> dict:
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.session import get_spark
 
+    # IDENTICAL job spec at every parallelism level (the north rule measures
+    # the same job on two cluster sizes): shuffle partitioning is a property
+    # of the job, not the cluster, so it must not vary with the core count —
+    # 2*max_level cores worth of partitions runs unchanged at every level.
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "16"))
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}",
-                      shuffle_partitions=2 * cpus)
+                      shuffle_partitions=shuffle_parts)
     spark.sparkContext.setLogLevel("ERROR")
     tr = spark.read.parquet(INPUT_DIR)
     rows = tr.count()
@@ -114,9 +119,19 @@ def main() -> None:
             # one retry per trial: a transient Python-worker death (socket
             # reset) should not abort a 30-minute measurement session
             for attempt in range(2):
+                # pin the WHOLE process tree (JVM task slots, GC/shuffle/IPC
+                # threads, python workers) to exactly `cpus` hardware cores:
+                # in plain local[N] mode only task slots are limited while
+                # background threads free-ride on all 32 cores — a subsidy
+                # that helps the small level disproportionately (a real
+                # N-core executor node has no spare cores for GC). CPU
+                # affinity makes "two cluster sizes" mean what it says.
+                cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cpus)]
+                if os.environ.get("SPARK_GRAFT_BENCH_PIN", "0") == "1":
+                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
                 out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
-                    capture_output=True, text=True, cwd=REPO, timeout=3600,
+                    cmd,
+                    capture_output=True, text=True, cwd=REPO, timeout=7200,
                 )
                 if out.returncode == 0:
                     break

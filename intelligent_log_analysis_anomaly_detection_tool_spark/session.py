@@ -51,6 +51,25 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # Input split sizing is env-tunable for scan-parallelism experiments.
+        # Round-3 finding (BENCH.md): small splits (4 MB) lift ISOLATED
+        # sequential stage efficiency at local[8] (parse 0.61 -> 0.78 on a
+        # 10-partition input) but measurably HURT the real concurrent DAG —
+        # mildly at local[8], catastrophically at local[32] (61 s -> 139 s)
+        # — because concurrent branch submission already fills the slots
+        # that small splits were trying to fill, while many small python
+        # stages multiply per-task overhead. The default therefore stays at
+        # Spark's 128 MB; override only for single-stage studies.
+        builder = (
+            builder.config(
+                "spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+            ).config(
+                "spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "4194304"),
+            )
+        )
     # shuffle scratch on tmpfs when available: local-mode shuffles otherwise
     # contend on the (virtual) disk and cap multi-core scaling
     shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
