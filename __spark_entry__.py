@@ -796,6 +796,39 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs via the block-permutation Hamming join, on the
+    16-bit engine-portable fingerprint so the WHOLE pipeline —
+    fingerprint construction, blocking, exact Hamming filter — is
+    DuckDB-oracle-checked (VERDICT r3 item 5). max_hamming=3 makes the 4
+    blocks exactly partition the 16 bits (4x4), so the pigeonhole guarantee
+    is airtight and the engine's blocked join must equal the oracle's
+    all-pairs scan. The production-width (64-bit, selective-block) variant
+    stays benchmarked as simhash64_pairs."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        simhash16,
+    )
+
+    return hamming_near_dup_pairs(
+        simhash16(_documents(spark, sf_dir)), max_hamming=3, fp_bits=16
+    )
+
+
+def _simhash_near_dup_sql() -> str:
+    """All-pairs XOR/bit_count scan over the same 16-bit fingerprints the
+    engine blocks on (construction shared with _simhash16_sql)."""
+    inner = _simhash16_sql().strip()
+    return f"""
+WITH sig AS ({inner})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_simhash64_pairs(spark, sf_dir):
     """SimHash near-dup candidate pairs via block-permutation Hamming join
     (Spark-only: xxhash64-based 64-bit production fingerprint; 16-bit blocks
@@ -1013,7 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "binary_meta": q_binary_meta,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "simhash_near_dup_pairs": q_simhash64_pairs,
+        "simhash_near_dup_pairs": q_simhash_near_dup,
+        "simhash64_pairs": q_simhash64_pairs,
         "burst_detector": q_burst_detector,
         "statistical_detector": q_statistical_detector,
         "pattern_novel": q_pattern_novel,
@@ -1049,12 +1083,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "lsh_pairs": SQL_LSH_PAIRS,
         "simhash16": _simhash16_sql(),
+        "simhash_near_dup_pairs": _simhash_near_dup_sql(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "binary_meta": SQL_BINARY_META,
         "cosine_near_dup": SQL_COSINE_NEAR_DUP,
         "median_by_type": SQL_MEDIAN_BY_TYPE,
         "sessionize": SQL_SESSIONIZE,
         "region_revenue": SQL_REGION_REVENUE,
-        # ann_ivf_topk / simhash_near_dup_pairs: intentionally no SQL oracle
-        # (approximate / engine-native hashing); driver records rows-only.
+        # ann_ivf_topk / simhash64_pairs: intentionally no SQL oracle
+        # (approximate / engine-native xxhash64); driver records rows-only.
     }

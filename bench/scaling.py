@@ -62,8 +62,11 @@ def _measure(cpus: int) -> dict:
     # of the job, not the cluster, so it must not vary with the core count —
     # 2*max_level cores worth of partitions runs unchanged at every level.
     shuffle_parts = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "16"))
+    # input_path engages the engine's per-job derived split sizing
+    # (session.derive_max_partition_bytes) — the shipped default, no env
+    # overrides: splits follow input_bytes/(waves x cores), clamped
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}",
-                      shuffle_partitions=shuffle_parts)
+                      shuffle_partitions=shuffle_parts, input_path=INPUT_DIR)
     spark.sparkContext.setLogLevel("ERROR")
     tr = spark.read.parquet(INPUT_DIR)
     rows = tr.count()

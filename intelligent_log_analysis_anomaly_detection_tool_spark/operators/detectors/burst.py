@@ -142,8 +142,11 @@ def burst_anomalies(parsed: DataFrame, cfg: BurstConfig = BurstConfig()) -> Data
         F.col("key_n") >= cfg.min_repeats
     )
     # one streaming python pass per shuffle partition: the count-window above
-    # already hash-partitioned by (conv_id, burst_key), so EnsureRequirements
-    # elides the repartition exchange; the sort makes groups contiguous
+    # already hash-partitioned by (conv_id, burst_key), so the repartition
+    # introduces NO second exchange (plan-verified, round 4: the executed
+    # plan contains exactly one Exchange hashpartitioning(conv_id, burst_key)
+    # below the Window, then Sort -> MapInPandas); the sort makes groups
+    # contiguous
     scanned = (
         df.repartition("conv_id", "burst_key")
         .sortWithinPartitions("conv_id", "burst_key", "turn_idx")

@@ -35,6 +35,20 @@ def file_order_window(*part_cols: str) -> WindowSpec:
     return Window.partitionBy(*part_cols).orderBy("turn_idx")
 
 
+def event_order_window(*part_cols: str) -> WindowSpec:
+    """(epoch, turn_idx)-ordered rank/prefix window.
+
+    Identical to ``file_order_window`` under the engine's documented
+    per-conversation ts-monotonicity invariant (turn_idx breaks epoch ties
+    deterministically, and turn_idx order == (epoch, turn_idx) order when
+    epoch is non-decreasing in turn_idx). The point of using it instead:
+    every rank/prefix window then shares ONE physical sort with the
+    epoch-ordered range frames — a sort on (keys, epoch, turn_idx) satisfies
+    a required ordering of (keys, epoch) by prefix — so a detector's whole
+    window stack plans as a single Exchange + a single Sort."""
+    return Window.partitionBy(*part_cols).orderBy("epoch", "turn_idx")
+
+
 def older_than_window(window_s: int, *part_cols: str) -> WindowSpec:
     """Frame counting rows with epoch < current - window_s (evicted rows)."""
     return (

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ...config import SpikeConfig
-from .common import S_CRIT, S_HIGH, S_MED, T_FREQ_SPIKE, as_anomaly, trailing_count, with_epoch
+from .common import S_CRIT, S_HIGH, S_MED, T_FREQ_SPIKE, as_anomaly, with_epoch
 
 
 def _fmt_factory(window_s: int):
@@ -50,12 +50,13 @@ def spike_anomalies(parsed: DataFrame, cfg: SpikeConfig = SpikeConfig()) -> Data
     df = parsed.filter((~F.col("malformed")) & (F.col("source") != ""))
     df = with_epoch(df)
 
-    # one rn window (turn order) + one merged WindowExec for both range
-    # counts (epoch order): 2 sorts, 1 exchange — not 4 sorts (plan audit)
-    from .common import file_order_window, older_than_window
+    # rank ordered by (epoch, turn_idx) — identical to file order under the
+    # monotonic-ts invariant (common.event_order_window) — so the rank window
+    # and both range counts share ONE sort: 1 sort, 1 exchange (plan audit)
+    from .common import event_order_window, older_than_window
 
     keys = ("conv_id", "source")
-    df = df.withColumn("rn", F.row_number().over(file_order_window(*keys)))
+    df = df.withColumn("rn", F.row_number().over(event_order_window(*keys)))
     df = df.withColumn(
         "cur",
         F.col("rn")

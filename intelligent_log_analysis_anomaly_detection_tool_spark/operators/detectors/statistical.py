@@ -28,8 +28,8 @@ from pyspark.sql.functions import pandas_udf
 
 from ...config import StatisticalConfig
 from .common import (
-    S_HIGH, S_LOW, S_MED, T_STAT, as_anomaly, file_order_window,
-    older_than_window, trailing_count, with_epoch,
+    S_HIGH, S_LOW, S_MED, T_STAT, as_anomaly, event_order_window,
+    older_than_window, with_epoch,
 )
 
 
@@ -55,9 +55,11 @@ def statistical_anomalies(
     df = with_epoch(parsed.filter(~F.col("malformed")))
     keys = ("conv_id", "source")
 
-    # single rn window (doubles as Welford count), merged epoch-ordered
-    # WindowExec for the range count + range min (plan audit: 2 sorts total)
-    df = df.withColumn("cnt", F.row_number().over(file_order_window(*keys)))
+    # single rn window (doubles as Welford count) ordered by (epoch,
+    # turn_idx) — identical to file order under the monotonic-ts invariant —
+    # so the rank, the epoch-ordered range count/min, AND the prefix
+    # mean/stddev all share ONE sort (plan audit: 1 sort, 1 exchange)
+    df = df.withColumn("cnt", F.row_number().over(event_order_window(*keys)))
     older = F.count(F.lit(1)).over(older_than_window(cfg.rate_window_s, *keys))
     # min(epoch) over retained rows == min over the range frame (monotonic ts)
     w_rng = (
@@ -78,7 +80,7 @@ def statistical_anomalies(
     df = df.withColumn("rate", rate)
 
     w_prefix = (
-        file_order_window(*keys)
+        event_order_window(*keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sd_raw = F.stddev_samp("rate").over(w_prefix)

@@ -21,8 +21,6 @@ from ..operators.detectors.common import S_LOW, T_OTHER, as_anomaly
 from ..operators.detectors.frequency import frequency_anomalies
 from ..operators.detectors.pattern import pattern_anomalies
 from ..operators.detectors.rare_ip import rare_ip_anomalies
-from ..operators.detectors.spike import spike_anomalies
-from ..operators.detectors.statistical import statistical_anomalies
 from ..operators.detectors.timewindow import timewindow_anomalies
 from ..operators.enrich import dims, enrich
 
@@ -82,11 +80,15 @@ def rule_anomalies(parsed: DataFrame, rules: DataFrame) -> DataFrame:
 def online_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
                      rules: DataFrame | None = None) -> DataFrame:
     """Per-entry detector fires (rule stage contributes zero rows in faithful
-    mode, F9). Union order mirrors main.cpp:283-360."""
+    mode, F9). Union order mirrors main.cpp:283-360; W1+W2 run as ONE fused
+    window pass (they share the (conv_id, source) sort — see
+    detectors/online_fused.py), emitting the same rows as the standalone
+    spike_anomalies/statistical_anomalies operators."""
+    from ..operators.detectors.online_fused import spike_statistical_anomalies
+
     out = (
         parser_anomalies(parsed)
-        .unionByName(spike_anomalies(parsed, cfg.spike))
-        .unionByName(statistical_anomalies(parsed, cfg.statistical))
+        .unionByName(spike_statistical_anomalies(parsed, cfg.spike, cfg.statistical))
         .unionByName(burst_anomalies(parsed, cfg.burst))
         .unionByName(rare_ip_anomalies(parsed, cfg.ip))
     )

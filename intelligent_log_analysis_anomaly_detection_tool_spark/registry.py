@@ -15,6 +15,12 @@ class Op:
     survey_ids: tuple[str, ...]
     fn: Callable
     verified_by: str  # "oracle" | "duckdb" | "duckdb+oracle" | "pytest" | "rows-only"
+    # API-contract kwargs a caller must know about (round-3/4 additions):
+    # names listed in required_kwargs are KEYWORD-ONLY WITHOUT DEFAULT on fn
+    # (the registry test enforces this, so a silent default cannot come
+    # back); tunable_kwargs are optional knobs worth discovering.
+    required_kwargs: tuple[str, ...] = ()
+    tunable_kwargs: tuple[str, ...] = ()
 
 
 def all_operators() -> list[Op]:
@@ -22,7 +28,8 @@ def all_operators() -> list[Op]:
     from .operators import dedup, enrich, multimodal, sessionize, similarity, textstats
     from .operators.aggregates import level_stats, minute_stats, source_stats, totals
     from .operators.detectors import (
-        burst, frequency, pattern, rare_ip, spike, statistical, timewindow,
+        burst, frequency, online_fused, pattern, rare_ip, spike, statistical,
+        timewindow,
     )
     from .plans import pipeline
     from . import checkpoint, dashboard, sinks
@@ -52,6 +59,8 @@ def all_operators() -> list[Op]:
         Op("spike_anomalies", ("W1",), spike.spike_anomalies, "duckdb+oracle"),
         Op("statistical_anomalies", ("W2",), statistical.statistical_anomalies,
            "duckdb+oracle"),
+        Op("spike_statistical_anomalies", ("W1", "W2"),
+           online_fused.spike_statistical_anomalies, "oracle"),
         Op("burst_anomalies", ("W3",), burst.burst_anomalies, "oracle"),
         Op("rare_ip_anomalies", ("W4",), rare_ip.rare_ip_anomalies,
            "duckdb+oracle"),
@@ -80,14 +89,16 @@ def all_operators() -> list[Op]:
         Op("simhash16", ("dedup",), dedup.simhash16, "duckdb+pytest"),
         Op("simhash64", ("dedup",), dedup.simhash64, "pytest"),
         Op("hamming_near_dup_pairs", ("dedup",), dedup.hamming_near_dup_pairs,
-           "rows-only"),
+           "duckdb+pytest", required_kwargs=("fp_bits",)),
         Op("cosine_topk", ("similarity",), similarity.cosine_topk,
            "duckdb+pytest"),
-        Op("ivf_topk", ("similarity",), similarity.ivf_topk, "pytest-recall"),
+        Op("ivf_topk", ("similarity",), similarity.ivf_topk, "pytest-recall",
+           tunable_kwargs=("centroids", "cells")),
         Op("kmeans_centroids", ("similarity",), similarity.kmeans_centroids,
            "pytest-recall"),
         Op("cosine_near_dup_pairs", ("similarity",),
-           similarity.cosine_near_dup_pairs, "duckdb"),
+           similarity.cosine_near_dup_pairs, "duckdb",
+           tunable_kwargs=("centroids",)),
         Op("token_stats", ("text",), textstats.token_stats, "duckdb"),
         Op("quality_score", ("text",), textstats.quality_score, "duckdb"),
         Op("lang_id", ("text",), textstats.lang_id, "duckdb"),

@@ -13,12 +13,58 @@ import os
 
 from pyspark.sql import SparkSession
 
+_MIB = 1024 * 1024
+
+
+def dir_bytes(path: str) -> int:
+    """Total size of the data files under a (parquet) directory."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def derive_max_partition_bytes(
+    input_bytes: int,
+    parallelism: int,
+    waves: int | None = None,
+    floor: int = 8 * _MIB,
+    cap: int = 128 * _MIB,
+) -> int:
+    """Per-job input-split size: target ~``waves`` scan waves at the given
+    parallelism, clamped to [floor, cap].
+
+    Round-3 finding (BENCH.md): a CONSTANT split size cannot serve both ends
+    of the scale — Spark's 128 MB default leaves a 1 GB input as ~8
+    one-minute straggler tasks on 8 cores (2->8 efficiency 0.595), while a
+    constant 4 MB produces hundreds of tiny python stages that are
+    catastrophic at local[32] (61 s -> 139 s). The split size is a property
+    of (input size, target parallelism): ``input_bytes / (waves x
+    parallelism)`` gives every core ~``waves`` tasks to level stragglers,
+    the 128 MB cap keeps the 100 TB case at Spark's scan-efficient default
+    (at real scale the formula is far above the cap, so clusters see stock
+    behavior), and the floor keeps small inputs from shattering into
+    per-task-overhead-dominated fragments. Env overrides (round-3 knobs)
+    still win for single-stage studies."""
+    if waves is None:
+        waves = int(os.environ.get("SPARK_GRAFT_SCAN_WAVES", "4"))
+    if input_bytes <= 0 or parallelism <= 0:
+        return cap
+    return int(max(floor, min(cap, input_bytes // (waves * parallelism))))
+
 
 def get_spark(
     master: str | None = None,
     app_name: str = "log-transcript-pipeline",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    input_path: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard configs.
 
@@ -52,19 +98,27 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     if master.startswith("local"):
-        # Input split sizing is env-tunable for scan-parallelism experiments.
-        # Round-3 finding (BENCH.md): small splits (4 MB) lift ISOLATED
-        # sequential stage efficiency at local[8] (parse 0.61 -> 0.78 on a
-        # 10-partition input) but measurably HURT the real concurrent DAG —
-        # mildly at local[8], catastrophically at local[32] (61 s -> 139 s)
-        # — because concurrent branch submission already fills the slots
-        # that small splits were trying to fill, while many small python
-        # stages multiply per-task overhead. The default therefore stays at
-        # Spark's 128 MB; override only for single-stage studies.
+        # Per-job derived split sizing (round 4): when the caller names its
+        # input, the split size targets ~4 scan waves per core instead of a
+        # constant — see derive_max_partition_bytes for the full rationale
+        # (constant 128 MB starves 8 cores on GB-scale inputs; constant 4 MB
+        # shatters local[32]). The env knob remains the top-priority
+        # override for single-stage studies; with neither, Spark's 128 MB
+        # default stands (the 100 TB-correct value).
+        default_split = "128m"
+        if input_path is not None:
+            n_cores = int(cpus) if cpus.isdigit() else 32
+            if master.startswith("local["):
+                inner = master[6:-1]
+                if inner.isdigit():
+                    n_cores = int(inner)
+            default_split = str(
+                derive_max_partition_bytes(dir_bytes(input_path), n_cores)
+            )
         builder = (
             builder.config(
                 "spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", default_split),
             ).config(
                 "spark.sql.files.openCostInBytes",
                 os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "4194304"),

@@ -97,6 +97,20 @@ def test_statistical(parsed_df, oracle_result):
     _compare(got, want, score_tol=1e-6)
 
 
+def test_fused_spike_statistical(parsed_df, oracle_result):
+    """The fused W1+W2 pass (one shared sort, used by online_anomalies) must
+    emit exactly the union of the standalone detectors' oracle rows."""
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.online_fused import (
+        spike_statistical_anomalies,
+    )
+
+    got = spike_statistical_anomalies(parsed_df).toPandas()
+    a = oracle_result["anomalies"]
+    want = a[a["detector"].isin(["spike", "statistical"])].reset_index(drop=True)
+    assert len(want) > 0
+    _compare(got, want, score_tol=1e-6)
+
+
 def test_burst(parsed_df, oracle_result):
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.burst import (
         burst_anomalies,

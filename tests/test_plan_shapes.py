@@ -50,6 +50,50 @@ def test_routing_is_broadcast(spark, fixture_df):
     assert "BroadcastHashJoin" in p
 
 
+def test_fused_online_single_sort(spark, fixture_pdf):
+    """W1+W2 fused pass: ONE Exchange hashpartitioning(conv_id, source) and
+    ONE Sort — the rank/prefix windows order by (epoch, turn_idx) and the
+    range frames by (epoch), both satisfied by the same physical sort."""
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.online_fused import (
+        spike_statistical_anomalies,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    fresh = spark.createDataFrame(fixture_pdf.head(500), schema=TRANSCRIPTS_SCHEMA)
+    p = _plan(spike_statistical_anomalies(parse_stage(fresh)))
+    if "InMemoryRelation" in p:
+        return
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("+- Sort") == 1, p
+
+
+def test_burst_single_exchange(spark, fixture_pdf):
+    """The burst scan's explicit repartition must not introduce a second
+    shuffle: the count-window already hash-partitions by (conv_id,
+    burst_key), and the executed plan keeps exactly ONE Exchange (verified
+    round 4 per ADVICE; this pins it)."""
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.burst import (
+        burst_anomalies,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    fresh = spark.createDataFrame(fixture_pdf.head(500), schema=TRANSCRIPTS_SCHEMA)
+    p = _plan(burst_anomalies(parse_stage(fresh)))
+    if "InMemoryRelation" in p:
+        return
+    assert p.count("Exchange") == 1, p
+
+
 def test_parse_evaluated_once_in_spike(spark, fixture_pdf):
     """The nondeterministic flag must keep Catalyst from duplicating the
     Arrow parse stage per consumer (one ArrowEvalPython for parse + one for
