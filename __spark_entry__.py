@@ -1003,6 +1003,83 @@ def q_statistical_detector(spark, sf_dir):
     return statistical_anomalies(parse_stage(events_as_transcripts(spark, sf_dir)))
 
 
+def q_novel_grams(spark, sf_dir):
+    """A10/A11 novelty core, DuckDB-PAIRED (round 4): the engine's
+    novel_sequences operator (chained-hash counting, broadcast anti-join,
+    tail-gram branch — the real scale plan) over a parsed-shaped frame built
+    directly from events columns, vs a closed-form SQL oracle that generates
+    every n-gram occurrence once with its overlap-recount weight
+    (weight = least(W+1-L, N-p-L+1), PatternAnalyzer.cpp:42-72) and keeps
+    total == 1. The synthetic message uses only string/int fields so the
+    signature is byte-identical across engines (no double formatting)."""
+    _utc(spark)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.pattern import (
+        novel_sequences,
+    )
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    level_ord = (
+        F.when(F.col("event_type") == "error", F.lit(3))
+        .when(F.col("event_type") == "purchase", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    message = F.concat(
+        F.lit("type="), F.col("event_type"),
+        F.lit(" seq="), F.pmod(F.col("event_id"), 7).cast("string"),
+        F.lit(" u="), F.col("user_id").cast("string"),
+    )
+    parsed_shape = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit(False).alias("malformed"),
+        F.lit("events-svc").alias("source"),
+        level_ord.alias("level_ord"),
+        message.alias("message"),
+    )
+    return novel_sequences(parsed_shape)
+
+
+def _novel_grams_sql(W: int = 10) -> str:
+    lead_cols = ",\n         ".join(
+        f"lead(sig, {i}) OVER w AS s{i}" for i in range(1, W)
+    )
+    arms = []
+    for ln in range(2, W + 1):
+        chain = " || '->' || ".join(f"s{i}" for i in range(ln))
+        arms.append(
+            f"SELECT conv_id, {chain} AS seq_sig,\n"
+            f"       LEAST({W + 1 - ln}, n_conv - p - {ln - 1}) AS wt\n"
+            f"  FROM leads WHERE s{ln - 1} IS NOT NULL"
+        )
+    grams = "\n  UNION ALL\n".join(arms)
+    return f"""
+WITH base AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p,
+         'events-svc:'
+           || CAST(CASE WHEN event_type = 'error' THEN 3
+                        WHEN event_type = 'purchase' THEN 2
+                        ELSE 1 END AS VARCHAR)
+           || ':'
+           || substr('type=' || event_type
+                     || ' seq=' || CAST(event_id % 7 AS VARCHAR)
+                     || ' u=' || CAST(user_id AS VARCHAR), 1, 20) AS sig
+  FROM events
+), leads AS (
+  SELECT conv_id, p,
+         count(*) OVER (PARTITION BY conv_id) AS n_conv,
+         sig AS s0,
+         {lead_cols}
+  FROM base WINDOW w AS (PARTITION BY conv_id ORDER BY p)
+), grams AS (
+  {grams}
+)
+SELECT conv_id, seq_sig
+FROM grams GROUP BY conv_id, seq_sig HAVING SUM(wt) = 1
+"""
+
+
 def q_pattern_novel(spark, sf_dir):
     """A10/A11 novel-sequence mining on the transcript rendering; rows-only
     (the bigram core is oracle-paired in bigram_sequences; full 2..10-gram
@@ -1048,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "simhash_near_dup_pairs": q_simhash_near_dup,
         "simhash64_pairs": q_simhash64_pairs,
+        "novel_grams": q_novel_grams,
         "burst_detector": q_burst_detector,
         "statistical_detector": q_statistical_detector,
         "pattern_novel": q_pattern_novel,
@@ -1084,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs": SQL_LSH_PAIRS,
         "simhash16": _simhash16_sql(),
         "simhash_near_dup_pairs": _simhash_near_dup_sql(),
+        "novel_grams": _novel_grams_sql(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "binary_meta": SQL_BINARY_META,
         "cosine_near_dup": SQL_COSINE_NEAR_DUP,

@@ -46,7 +46,12 @@ def main() -> None:
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.synth import synth_spark
 
-    spark = get_spark(master=args.master, app_name="run-pipeline")
+    # a parquet-dir input engages per-job derived split sizing
+    # (session.derive_max_partition_bytes): splits follow
+    # input_bytes/(waves x cores) clamped to [8 MB, 128 MB]
+    input_dir = args.input if args.input and os.path.isdir(args.input) else None
+    spark = get_spark(master=args.master, app_name="run-pipeline",
+                      input_path=input_dir)
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synth:
