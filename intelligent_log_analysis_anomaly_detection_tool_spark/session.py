@@ -34,29 +34,40 @@ def derive_max_partition_bytes(
     input_bytes: int,
     parallelism: int,
     waves: int | None = None,
-    floor: int = 8 * _MIB,
+    floor: int | None = None,
     cap: int = 128 * _MIB,
 ) -> int:
     """Per-job input-split size: target ~``waves`` scan waves at the given
     parallelism, clamped to [floor, cap].
 
-    Round-3 finding (BENCH.md): a CONSTANT split size cannot serve both ends
-    of the scale — Spark's 128 MB default leaves a 1 GB input as ~8
-    one-minute straggler tasks on 8 cores (2->8 efficiency 0.595), while a
-    constant 4 MB produces hundreds of tiny python stages that are
-    catastrophic at local[32] (61 s -> 139 s). The split size is a property
-    of (input size, target parallelism): ``input_bytes / (waves x
-    parallelism)`` gives every core ~``waves`` tasks to level stragglers,
-    the 128 MB cap keeps the 100 TB case at Spark's scan-efficient default
-    (at real scale the formula is far above the cap, so clusters see stock
-    behavior), and the floor keeps small inputs from shattering into
-    per-task-overhead-dominated fragments. Env overrides (round-3 knobs)
-    still win for single-stage studies."""
+    Round-3/4 findings (BENCH.md): a CONSTANT split size cannot serve both
+    ends of the scale — Spark's 128 MB default leaves a ~1 GB input as ~7
+    one-minute straggler tasks on 8 cores (2->8 efficiency 0.595) — but
+    small scan tasks are actively harmful on this engine: sub-~20 MB splits
+    multiply the Arrow-parse per-task fixed cost and were measured
+    catastrophic on the concurrent DAG at local[32] (61 s -> 137-139 s at
+    both 4 MB and 8 MB splits, round 3 and round 4 independently). Hence:
+    At LOW parallelism (< 16 cores) ``input_bytes / (waves x parallelism)``
+    gives every core ~``waves`` tasks to level stragglers, with a 24 MB
+    floor above the per-task-overhead knee: at 27.9M rows / 8 cores the
+    round-4 matrix reads 310 s (derived 25.6 MB) vs ~395 s (128 MB
+    stragglers) vs 572 s (4 MB shatter). At HIGH parallelism (>= 16 cores)
+    the derivation returns the stock 128 MB cap unchanged: concurrency
+    there comes from parallel DAG branches, not intra-stage scan width, and
+    every sub-stock split size measured WORSE on the local[32] concurrent
+    DAG (58 s at 128 MB vs 66-137 s at 96/24/8 MB — round-4 matrix), so
+    any real multi-executor cluster sees Spark's stock scan behavior.
+    Env overrides (SPARK_GRAFT_SCAN_WAVES / SPARK_GRAFT_SCAN_FLOOR /
+    round-3 split knobs) win for studies."""
     if waves is None:
         waves = int(os.environ.get("SPARK_GRAFT_SCAN_WAVES", "4"))
+    if floor is None:
+        floor = int(os.environ.get("SPARK_GRAFT_SCAN_FLOOR", str(24 * _MIB)))
     if input_bytes <= 0 or parallelism <= 0:
         return cap
-    return int(max(floor, min(cap, input_bytes // (waves * parallelism))))
+    if parallelism >= 16:
+        return cap
+    return int(min(cap, max(floor, input_bytes // (waves * parallelism))))
 
 
 def get_spark(

@@ -14,9 +14,14 @@ def test_cap_at_stock_default():
 
 
 def test_floor_guards_small_inputs():
-    # 200 MB input at 32 cores: raw 1.6 MB would shatter into tiny python
-    # stages (catastrophic at local[32], BENCH.md round 3) -> floored to 8 MB
-    assert derive_max_partition_bytes(200 * MIB, 32, waves=4) == 8 * MIB
+    # high parallelism (>= 16 cores): stock 128 MB, full stop — every
+    # sub-stock split measured WORSE on the local[32] concurrent DAG
+    # (58 s at 128 MB vs 66-137 s at 96/24/8 MB, BENCH.md round 4)
+    assert derive_max_partition_bytes(200 * MIB, 32, waves=4) == 128 * MIB
+    assert derive_max_partition_bytes(200 * MIB, 64, waves=4) == 128 * MIB
+    # low parallelism: 24 MB floor above the per-task-overhead knee
+    assert derive_max_partition_bytes(200 * MIB, 8, waves=4) == 24 * MIB
+    assert derive_max_partition_bytes(200 * MIB, 2, waves=4) == 25 * MIB
 
 
 def test_mid_range_targets_waves():
