@@ -115,37 +115,41 @@ def main() -> None:
     )
     results: dict[int, dict] = {}
     all_trials: dict[int, list] = {}
-    for cpus in cpu_levels:
-        best = None
-        all_trials[cpus] = []
-        for _ in range(trials):
-            # one retry per trial: a transient Python-worker death (socket
-            # reset) should not abort a 30-minute measurement session
-            for attempt in range(2):
-                # pin the WHOLE process tree (JVM task slots, GC/shuffle/IPC
-                # threads, python workers) to exactly `cpus` hardware cores:
-                # in plain local[N] mode only task slots are limited while
-                # background threads free-ride on all 32 cores — a subsidy
-                # that helps the small level disproportionately (a real
-                # N-core executor node has no spare cores for GC). CPU
-                # affinity makes "two cluster sizes" mean what it says.
-                cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cpus)]
-                if os.environ.get("SPARK_GRAFT_BENCH_PIN", "0") == "1":
-                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-                out = subprocess.run(
-                    cmd,
-                    capture_output=True, text=True, cwd=REPO, timeout=7200,
-                )
-                if out.returncode == 0:
-                    break
-                print(out.stderr[-4000:], file=sys.stderr)
-            if out.returncode != 0:
-                raise SystemExit(f"bench run cpus={cpus} failed twice")
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            print(json.dumps(r), file=sys.stderr)
-            all_trials[cpus].append(r["turns_per_sec"])
-            if best is None or r["wall_sec"] < best["wall_sec"]:
-                best = r
+    # INTERLEAVE levels per trial round (L2,L8,L2,L8,...) instead of
+    # exhausting one level first: the round-4 55.4M block showed monotone
+    # host-window drift within a session (last trial -30%), which an
+    # all-of-level-A-then-level-B order converts into a systematic bias on
+    # the efficiency ratio; alternating makes drift cancel to first order.
+    for cpus in [c for _ in range(trials) for c in cpu_levels]:
+        best = results.get(cpus)
+        all_trials.setdefault(cpus, [])
+        # one retry per trial: a transient Python-worker death (socket
+        # reset) should not abort a 30-minute measurement session
+        for attempt in range(2):
+            # pin the WHOLE process tree (JVM task slots, GC/shuffle/IPC
+            # threads, python workers) to exactly `cpus` hardware cores:
+            # in plain local[N] mode only task slots are limited while
+            # background threads free-ride on all 32 cores — a subsidy
+            # that helps the small level disproportionately (a real
+            # N-core executor node has no spare cores for GC). CPU
+            # affinity makes "two cluster sizes" mean what it says.
+            cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cpus)]
+            if os.environ.get("SPARK_GRAFT_BENCH_PIN", "0") == "1":
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            out = subprocess.run(
+                cmd,
+                capture_output=True, text=True, cwd=REPO, timeout=7200,
+            )
+            if out.returncode == 0:
+                break
+            print(out.stderr[-4000:], file=sys.stderr)
+        if out.returncode != 0:
+            raise SystemExit(f"bench run cpus={cpus} failed twice")
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        print(json.dumps(r), file=sys.stderr)
+        all_trials[cpus].append(r["turns_per_sec"])
+        if best is None or r["wall_sec"] < best["wall_sec"]:
+            best = r
         results[cpus] = best
 
     def median(xs):
