@@ -100,6 +100,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow joins to reuse an existing subset-key partitioning instead
+        # of reshuffling BOTH sides over all join keys: the pattern stage's
+        # representative-string attach joins (conv_id, turn_idx) against a
+        # frame already hash-partitioned by conv_id — with the stock
+        # setting Spark re-exchanged the string-bearing side (plan-probed,
+        # round 4); with subset co-partitioning it stays put
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Arrow transfer for pandas UDFs (the parse stage is Arrow-batched).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")

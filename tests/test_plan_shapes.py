@@ -94,6 +94,46 @@ def test_burst_single_exchange(spark, fixture_pdf):
     assert p.count("Exchange") == 1, p
 
 
+def test_sequence_counts_no_lead_string_exchange(spark, fixture_pdf):
+    """A10's representative-string attach must not re-exchange the lead
+    frame even in the SortMergeJoin fallback: the counts side co-partitions
+    by conv (requireAllClusterKeysForCoPartition=false), so no Exchange in
+    the plan carries the s1..s9 lead-string columns."""
+    import re
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse import (
+        parse_stage,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.detectors.pattern import (
+        sequence_counts,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.schema import (
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    fresh = spark.createDataFrame(fixture_pdf.head(800), schema=TRANSCRIPTS_SCHEMA)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sequence_counts(parse_stage(fresh)).explain("formatted")
+        fmt = buf.getvalue()
+        assert "SortMergeJoin" in fmt  # the fallback actually engaged
+        for sec in re.split(r"\n\n", fmt):
+            first = sec.strip().splitlines()[0] if sec.strip() else ""
+            if re.match(r"\(\d+\) Exchange", first):
+                inputs = " ".join(
+                    l for l in sec.splitlines() if l.startswith("Input")
+                )
+                assert not re.search(r"\bs[1-9]#", inputs), sec
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_parse_evaluated_once_in_spike(spark, fixture_pdf):
     """The nondeterministic flag must keep Catalyst from duplicating the
     Arrow parse stage per consumer (one ArrowEvalPython for parse + one for
