@@ -830,18 +830,55 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_simhash64_pairs(spark, sf_dir):
-    """SimHash near-dup candidate pairs via block-permutation Hamming join
-    (Spark-only: xxhash64-based 64-bit production fingerprint; 16-bit blocks
-    at max_hamming=3 keep the candidate join selective)."""
+    """SimHash near-dup pairs at PRODUCTION width: 64-bit fingerprint,
+    SELECTIVE 16-bit blocks at max_hamming=3 (the 100 TB-shaped plan, unlike
+    simhash_near_dup_pairs' deliberately loose 4-bit pigeonhole blocks).
+    DuckDB-PAIRED since round 5 via the portable md5-bit construction
+    (dedup.simhash64_md5) — the oracle rebuilds the same 64-bit fingerprints
+    and runs an all-pairs xor/bit_count scan, so blocking + Hamming filter
+    are checked end-to-end at full width. The xxhash64 production
+    construction (dedup.simhash64) stays pytest-verified."""
     _utc(spark)
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
         hamming_near_dup_pairs,
-        simhash64,
+        simhash64_md5,
     )
 
     return hamming_near_dup_pairs(
-        simhash64(_documents(spark, sf_dir)), max_hamming=3, fp_bits=64
+        simhash64_md5(_documents(spark, sf_dir)), max_hamming=3, fp_bits=64
     )
+
+
+def _simhash64_pairs_sql() -> str:
+    """All-pairs 64-bit XOR/bit_count scan over md5-bit fingerprints —
+    construction mirrors dedup.simhash64_md5 (bit j = bit j%4 of hex nibble
+    j//4 of md5(token); bit 63 via the min-long literal, BIGINT-signed-safe)."""
+    bit_cols = ",\n         ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1) "
+        f">> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63)
+    )
+    fp += " + (CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, md5(unnest(toks)) AS h FROM t
+), bits AS (
+  SELECT doc_id,
+         {bit_cols}
+  FROM tok GROUP BY 1
+), sig AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_region_revenue(spark, sf_dir):
@@ -990,8 +1027,12 @@ def q_burst_detector(spark, sf_dir):
 
 def q_statistical_detector(spark, sf_dir):
     """W2 z-score detector (rate windows + Welford-equivalent prefix stats)
-    end-to-end on the transcript rendering; rows-only for the driver (window
-    math itself is oracle-paired in zscore_prefix/spike_windows)."""
+    end-to-end on the transcript rendering. DuckDB-PAIRED since round 5:
+    the oracle re-derives the full chain (transcript rendering -> parse
+    quirk source=[LEVEL] token -> trailing-600s rate -> prefix mean/
+    stddev_samp -> |z|>3 filter -> severity mapping -> printf description)
+    in plain SQL, so the detector's complete output — including the
+    formatted description string — is value-hash checked."""
     _utc(spark)
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
@@ -1000,7 +1041,102 @@ def q_statistical_detector(spark, sf_dir):
         statistical_anomalies,
     )
 
-    return statistical_anomalies(parse_stage(events_as_transcripts(spark, sf_dir)))
+    out = statistical_anomalies(parse_stage(events_as_transcripts(spark, sf_dir)))
+    # score rounded to 6 decimals for the hash compare (house style, cf.
+    # zscore_prefix/spike_windows): Spark's Welford stddev and DuckDB's
+    # segment-tree stddev legitimately differ in the last ulps (<= ~3e-15
+    # relative); the description string embeds the %.2f/%.1f-formatted
+    # full-precision values and IS byte-compared, so semantics stay pinned
+    return out.withColumn("score", F.round(F.col("score"), 6) + F.lit(0.0))
+
+
+def _statistical_detector_sql() -> str:
+    """Closed-form oracle for q_statistical_detector.
+
+    Mirrors statistical.py:52 on the events_as_transcripts rendering:
+    - source = the parse quirk's bracket capture = the LEVEL token
+      (LogParser.cpp:340-366 quirk: first '[...]' content), i.e.
+      error->ERROR / purchase->WARN / else INFO
+    - turn_idx = per-user (ts, event_id) rank - 1; epoch = floor(epoch(ts))
+      (ts_parsed is the 19-char second-truncated rendering)
+    - keys (conv_id, source); rate per StatisticalDetector.cpp:28-77:
+      n < 2 -> n*60/600 else n / max(1e-6, max(1, span)/60), span measured
+      first-retained-to-current inside the trailing 600 s window
+    - prefix avg/stddev_samp INCLUDING the current row (Welford order),
+      z gated on cnt >= 10 and sd != 0, fire iff |z| > 3
+    - severity: sev = min(1, |z|/3) -> always 1.0 -> S_HIGH = 2
+    - description via printf — C-style %.2f/%.1f matches Python format
+      on bit-identical doubles
+    """
+    return """
+WITH tr AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - 1 AS INTEGER) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(to_timestamp(floor(epoch(ts))) AS TIMESTAMP) AS ts_parsed,
+         CASE WHEN event_type = 'error' THEN 'ERROR'
+              WHEN event_type = 'purchase' THEN 'WARN'
+              ELSE 'INFO' END AS source
+  FROM events
+), w AS (
+  SELECT conv_id, source, turn_idx, es, ts_parsed,
+         row_number() OVER (PARTITION BY conv_id, source
+                            ORDER BY es, turn_idx) AS cnt,
+         count(*) OVER (PARTITION BY conv_id, source ORDER BY es
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND 601 PRECEDING) AS older,
+         min(es) OVER (PARTITION BY conv_id, source ORDER BY es
+                       RANGE BETWEEN 600 PRECEDING
+                       AND CURRENT ROW) AS first_epoch
+  FROM tr
+), r AS (
+  SELECT *, cnt - older AS n_rate,
+         greatest(1.0, CAST(es - first_epoch AS DOUBLE)) AS span
+  FROM w
+), rr AS (
+  SELECT *,
+         CASE WHEN n_rate < 2 THEN CAST(n_rate AS DOUBLE) * 60.0 / 600.0
+              ELSE CAST(n_rate AS DOUBLE) / greatest(1e-6, span / 60.0)
+         END AS rate
+  FROM r
+), st AS (
+  SELECT *,
+         avg(rate) OVER pw AS mean,
+         stddev_samp(rate) OVER pw AS sd_raw
+  FROM rr
+  WINDOW pw AS (PARTITION BY conv_id, source ORDER BY es, turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), gated AS (
+  -- DuckDB's windowed stddev_samp (segment-tree combine) leaves O(1e-18)
+  -- residue on CONSTANT input where Spark/the reference's Welford update is
+  -- exactly 0 (x - mean == 0 -> m2 += 0); gate at 1e-9 relative to the mean
+  -- — genuine rate variation is quantized (rates are n*60/span with integer
+  -- span <= 600) so any real sd is >= ~1e-7, six orders above the residue
+  SELECT *,
+         coalesce(
+           CASE WHEN sd_raw > 1e-9 * greatest(abs(mean), 1.0)
+                THEN sd_raw END,
+           0.0) AS sd
+  FROM st
+), zs AS (
+  SELECT *,
+         CASE WHEN cnt >= 10 AND sd <> 0.0
+              THEN (rate - mean) / sd ELSE 0.0 END AS z
+  FROM gated
+)
+SELECT conv_id, turn_idx, 'statistical' AS detector,
+       2 AS anomaly_type,
+       CASE WHEN least(1.0, abs(z) / 3.0) >= 0.9 THEN 2
+            WHEN least(1.0, abs(z) / 3.0) >= 0.6 THEN 1
+            ELSE 0 END AS severity,
+       ts_parsed AS window_start, ts_parsed AS window_end,
+       round(z, 6) + 0.0 AS score, source,
+       printf('Statistical anomaly detected (Z=%.2f): %s event rate ' ||
+              'deviation %.2fσ from mean μ=%.1f σ=%.1f',
+              z, source, abs(z), mean, sd) AS description
+FROM zs WHERE abs(z) > 3.0
+"""
 
 
 def q_novel_grams(spark, sf_dir):
@@ -1162,13 +1298,15 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs": SQL_LSH_PAIRS,
         "simhash16": _simhash16_sql(),
         "simhash_near_dup_pairs": _simhash_near_dup_sql(),
+        "simhash64_pairs": _simhash64_pairs_sql(),
         "novel_grams": _novel_grams_sql(),
+        "statistical_detector": _statistical_detector_sql(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "binary_meta": SQL_BINARY_META,
         "cosine_near_dup": SQL_COSINE_NEAR_DUP,
         "median_by_type": SQL_MEDIAN_BY_TYPE,
         "sessionize": SQL_SESSIONIZE,
         "region_revenue": SQL_REGION_REVENUE,
-        # ann_ivf_topk / simhash64_pairs: intentionally no SQL oracle
-        # (approximate / engine-native xxhash64); driver records rows-only.
+        # ann_ivf_topk: intentionally no SQL oracle (approximate by design);
+        # driver records rows-only.
     }

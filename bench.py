@@ -53,7 +53,7 @@ def _run_concurrent_pipeline(spark, tr) -> float:
         minute_stats,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
-        offline_anomalies,
+        offline_anomaly_builders,
         online_anomalies,
     )
 
@@ -66,11 +66,16 @@ def _run_concurrent_pipeline(spark, tr) -> float:
         online.count()
         _noop_write(minute_stats(parsed, online))
 
-    def _offline():
-        _noop_write(offline_anomalies(parsed))
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        for f in [ex.submit(_online_then_minutes), ex.submit(_offline)]:
+    # one writer per offline analyzer, each constructing ITS OWN plan inside
+    # its thread (round 5): frequency/timewindow submit and run while the
+    # pattern branch's blocking plan-choice action is still in flight —
+    # before this the single offline-union write idled the cluster behind it
+    builders = offline_anomaly_builders(parsed)
+    jobs = [_online_then_minutes] + [
+        (lambda b=b: _noop_write(b())) for b in builders.values()
+    ]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        for f in [ex.submit(j) for j in jobs]:
             f.result()
     wall = time.time() - t0
     parsed.unpersist()
@@ -103,21 +108,39 @@ def main() -> None:
     # run BEFORE this process creates its own SparkContext so the child has
     # the box to itself (a live parent JVM measurably contends: +40% wall) ---
     env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
-    pipeline_sec = None
-    try:
-        proc = subprocess.run(
+
+    def _one_cold_trial() -> float | None:
+        # start_new_session so a timed-out child's WHOLE process group (the
+        # Spark JVM + python workers, which subprocess's own kill would
+        # orphan to contend with later measurements) can be killpg'd
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, env=env, timeout=1800,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, start_new_session=True,
         )
-        child_line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        try:
+            out, err = proc.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            sys.stderr.write("bench child timed out after 900s\n")
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            return None
+        child_line = [l for l in out.strip().splitlines() if l.startswith("{")]
         if proc.returncode == 0 and child_line:
-            pipeline_sec = json.loads(child_line[-1])["pipeline_total"]
-        else:
-            sys.stderr.write(f"bench child failed: {proc.stderr[-2000:]}\n")
-    except subprocess.TimeoutExpired:
-        # a hung child must not abort the whole bench — same warm-fallback
-        # path as a nonzero-returncode child
-        sys.stderr.write("bench child timed out after 1800s\n")
+            return json.loads(child_line[-1])["pipeline_total"]
+        sys.stderr.write(f"bench child failed: {err[-2000:]}\n")
+        return None
+
+    # headline = MEDIAN of 3 cold fresh-JVM trials (round 5): this host shows
+    # multi-x degraded windows lasting minutes (BENCH.md r4/r5 drift tables);
+    # a single-trial artifact of record inherits whichever window it lands in
+    cold_trials = [t for t in (_one_cold_trial() for _ in range(3)) if t is not None]
+    pipeline_sec = sorted(cold_trials)[len(cold_trials) // 2] if cold_trials else None
 
     from intelligent_log_analysis_anomaly_detection_tool_spark.session import get_spark
 
@@ -204,12 +227,15 @@ def main() -> None:
         "throughput_rows_per_sec": round(events_rows / pipeline_sec, 1),
         "cpus": CPUS,
         "cold_child_ok": cold_child_ok,
+        "cold_trials": [round(t, 3) for t in cold_trials],
         "methodology": (
-            "cold fresh-JVM concurrent DAG (child process); "
-            "stage timings cold-sequential in parent (r1/r2-comparable)"
+            "MEDIAN of 3 cold fresh-JVM concurrent-DAG trials (child "
+            "processes, drift-resistant); stage timings cold-sequential in "
+            "parent (r1/r2-comparable)"
             if cold_child_ok
-            else "WARM in-JVM concurrent DAG (cold child failed — fallback); "
-            "stage timings cold-sequential in parent (r1/r2-comparable)"
+            else "WARM in-JVM concurrent DAG (cold children failed — "
+            "fallback); stage timings cold-sequential in parent "
+            "(r1/r2-comparable)"
         ),
     }
     print(json.dumps(out))

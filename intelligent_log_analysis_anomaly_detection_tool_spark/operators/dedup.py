@@ -523,6 +523,46 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     return g.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash64_md5(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash with the PORTABLE construction (round 5):
+    bit j of a token is bit ``j % 4`` of the ``(j // 4 + 1)``-th hex nibble
+    of md5(token) — the first 16 nibbles give 64 independent bits, all
+    expressible in both Spark and DuckDB SQL, so the full 64-bit pipeline
+    (fingerprint + selective 16-bit blocks + Hamming filter) can be
+    oracle-paired end-to-end. Bit 63 is assembled from the min-long literal
+    (a 1<<63 shift overflows signed 64-bit in both engines); disjoint bit
+    terms are summed, so no partial sum can overflow. The xxhash64 variant
+    (``simhash64``) stays the fastest production construction."""
+    toks = docs.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    nib = [
+        F.instr(F.lit(_HEX), F.substring(F.col("h"), n + 1, 1)) - 1
+        for n in range(16)
+    ]
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(nib[j // 4], j % 4).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    g = toks.groupBy(id_col).agg(*aggs)
+    fp = (
+        F.when(F.col("b63") > 0, F.lit(-9223372036854775808))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    for j in range(63):
+        fp = fp + F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select(F.col(id_col), fp.alias("simhash"))
+
+
 def hamming_near_dup_pairs(sim: DataFrame, id_col: str = "doc_id",
                            max_hamming: int = 3, *, fp_bits: int) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance <= k, using the standard

@@ -97,12 +97,29 @@ def online_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG,
     return out
 
 
+def offline_anomaly_builders(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """The offline analyzers as LAZY independent branch builders
+    (main.cpp:367-409): name -> zero-arg callable returning the branch plan.
+
+    Callers that materialize anomalies (bench/scaling, per-detector sinks)
+    construct + submit these CONCURRENTLY from one thread each — standard
+    multi-job scheduling — so the cluster keeps working while the pattern
+    branch's one blocking plan-choice action (novel_sequences' repeated-set
+    fetch) runs; a single union action would leave construction of the whole
+    offline plan stuck behind it on the driver. Builders are lazy so a
+    caller can construct exactly one branch per thread."""
+    return {
+        "frequency": lambda: frequency_anomalies(parsed, cfg.frequency),
+        "pattern": lambda: pattern_anomalies(parsed, cfg.pattern),
+        "timewindow": lambda: timewindow_anomalies(parsed, cfg.timewindow),
+    }
+
+
 def offline_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """End-of-run analyzer anomalies (main.cpp:367-409)."""
+    b = offline_anomaly_builders(parsed, cfg)
     return (
-        frequency_anomalies(parsed, cfg.frequency)
-        .unionByName(pattern_anomalies(parsed, cfg.pattern))
-        .unionByName(timewindow_anomalies(parsed, cfg.timewindow))
+        b["frequency"]().unionByName(b["pattern"]()).unionByName(b["timewindow"]())
     )
 
 
