@@ -1177,6 +1177,12 @@ def q_novel_grams(spark, sf_dir):
 
 
 def _novel_grams_sql(W: int = 10) -> str:
+    """NULL-handling note (ADVICE r4): the engine builds signatures with
+    concat_ws (NULL operands are SKIPPED with their separator) while this
+    oracle uses || (any NULL operand nulls the whole sig) — the two only
+    agree because the events fixture is fully non-null. The base CTE guards
+    that invariant with error(), so a NULL row makes the pairing fail with
+    a clear message instead of silently diverging."""
     lead_cols = ",\n         ".join(
         f"lead(sig, {i}) OVER w AS s{i}" for i in range(1, W)
     )
@@ -1202,6 +1208,11 @@ WITH base AS (
                      || ' seq=' || CAST(event_id % 7 AS VARCHAR)
                      || ' u=' || CAST(user_id AS VARCHAR), 1, 20) AS sig
   FROM events
+  WHERE CASE WHEN event_type IS NULL OR user_id IS NULL
+                  OR event_id IS NULL OR ts IS NULL
+             THEN error('novel_grams oracle: NULL in events violates the '
+                        || 'non-null invariant (concat_ws vs || diverge)')
+             ELSE TRUE END
 ), leads AS (
   SELECT conv_id, p,
          count(*) OVER (PARTITION BY conv_id) AS n_conv,
@@ -1217,9 +1228,15 @@ FROM grams GROUP BY conv_id, seq_sig HAVING SUM(wt) = 1
 
 
 def q_pattern_novel(spark, sf_dir):
-    """A10/A11 novel-sequence mining on the transcript rendering; rows-only
-    (the bigram core is oracle-paired in bigram_sequences; full 2..10-gram
-    overlap-recount semantics are pytest-verified vs the python oracle)."""
+    """A10/A11 full pattern detector (novel-sequence mining + anomaly
+    rendering) on the transcript rendering. DuckDB-PAIRED since round 5:
+    the oracle re-derives the whole chain in closed form — transcript text
+    -> parse (bracket-quirk source, level search, first-3-words signature
+    prefix truncated to 20 chars, PatternAnalyzer.cpp:176-206) -> every
+    2..10-gram occurrence generated once with its overlap-recount weight
+    (least(W+1-L, N-p-L+1), PatternAnalyzer.cpp:42-72) -> novel iff total
+    weight == 1 -> the two description renderings with the conv min/max
+    timestamp window (PatternAnalyzer.cpp:119-145)."""
     _utc(spark)
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
         parse_stage,
@@ -1229,6 +1246,79 @@ def q_pattern_novel(spark, sf_dir):
     )
 
     return pattern_anomalies(parse_stage(events_as_transcripts(spark, sf_dir)))
+
+
+def _pattern_novel_sql(W: int = 10) -> str:
+    """Closed-form oracle for q_pattern_novel.
+
+    Signature per element: source ':' level_ord ':' first-3-words-prefix
+    where the transcript line parses to source = bracket LEVEL token,
+    level_ord 4/3/2, and message tokens ("-", "type=X", "value=V", ...) —
+    the first three joined and truncated at 20 chars, so at most the value's
+    two leading digit chars enter the signature (identical across engines:
+    both render doubles shortest-roundtrip). Novelty = the same
+    weighted-occurrence closed form as _novel_grams_sql; rendering emits
+    the unconditional "New sequence pattern" row plus the conditional
+    high-severity row, windowed [min_ts, max_ts] of the conversation."""
+    lead_cols = ",\n         ".join(
+        f"lead(sig, {i}) OVER w AS s{i}" for i in range(1, W)
+    )
+    arms = []
+    for ln in range(2, W + 1):
+        chain = " || '->' || ".join(f"s{i}" for i in range(ln))
+        arms.append(
+            f"SELECT conv_id, {chain} AS seq_sig,\n"
+            f"       LEAST({W + 1 - ln}, n_conv - p - {ln - 1}) AS wt\n"
+            f"  FROM leads WHERE s{ln - 1} IS NOT NULL"
+        )
+    grams = "\n  UNION ALL\n".join(arms)
+    return f"""
+WITH base AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p,
+         CAST(to_timestamp(floor(epoch(ts))) AS TIMESTAMP) AS ts_parsed,
+         CASE WHEN event_type = 'error' THEN 'ERROR:4:'
+              WHEN event_type = 'purchase' THEN 'WARN:3:'
+              ELSE 'INFO:2:' END
+           || substr('- type=' || event_type || ' value='
+                     || CAST(value AS VARCHAR), 1, 20) AS sig
+  FROM events
+  WHERE CASE WHEN event_type IS NULL OR user_id IS NULL
+                  OR event_id IS NULL OR ts IS NULL OR value IS NULL
+             THEN error('pattern_novel oracle: NULL in events violates the '
+                        || 'non-null invariant (concat_ws vs || diverge)')
+             ELSE TRUE END
+), rng AS (
+  SELECT conv_id, min(ts_parsed) AS mn, max(ts_parsed) AS mx
+  FROM base GROUP BY 1
+), leads AS (
+  SELECT conv_id, p,
+         count(*) OVER (PARTITION BY conv_id) AS n_conv,
+         sig AS s0,
+         {lead_cols}
+  FROM base WINDOW w AS (PARTITION BY conv_id ORDER BY p)
+), grams AS (
+  {grams}
+), novel AS (
+  SELECT conv_id, seq_sig
+  FROM grams GROUP BY conv_id, seq_sig HAVING SUM(wt) = 1
+), descs AS (
+  SELECT conv_id, 'New sequence pattern: ' || seq_sig AS description
+  FROM novel
+  UNION ALL
+  SELECT conv_id,
+         'Novel high-severity pattern: ' || substr(seq_sig, 1, 50) || '...'
+  FROM novel
+  WHERE seq_sig LIKE '%ERROR%' OR seq_sig LIKE '%CRITICAL%'
+     OR seq_sig LIKE '%FATAL%'
+)
+SELECT d.conv_id, CAST(NULL AS INTEGER) AS turn_idx,
+       'pattern' AS detector, 3 AS anomaly_type, 1 AS severity,
+       r.mn AS window_start, r.mx AS window_end,
+       CAST(1.0 AS DOUBLE) AS score, CAST(NULL AS VARCHAR) AS source,
+       d.description
+FROM descs d JOIN rng r ON d.conv_id = r.conv_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1300,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_pairs": _simhash_near_dup_sql(),
         "simhash64_pairs": _simhash64_pairs_sql(),
         "novel_grams": _novel_grams_sql(),
+        "pattern_novel": _pattern_novel_sql(),
         "statistical_detector": _statistical_detector_sql(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "binary_meta": SQL_BINARY_META,
