@@ -59,21 +59,25 @@ def spike_statistical_anomalies(
         .orderBy("epoch")
         .rangeBetween(-stat_cfg.rate_window_s, 0)
     )
-    df = (
-        df.withColumn("rn", rn)
-        .withColumn("cur", F.col("rn") - older(spike_cfg.short_window_s))
-        .withColumn("base", F.col("rn") - older(spike_cfg.baseline_window_s))
-        .withColumn("n_rate", F.col("rn") - older(stat_cfg.rate_window_s))
-        .withColumn("first_epoch", F.min("epoch").over(w_rng))
-    )
+    # window-expression layers are batched into single withColumns calls —
+    # a chained withColumn re-analyzes the projection per column, which was
+    # ~half the driver's plan-construction lead-in (measured round 5);
+    # withColumns is one analysis round and plans identically
+    df = df.withColumns({
+        "rn": rn,
+        "cur": rn - older(spike_cfg.short_window_s),
+        "base": rn - older(spike_cfg.baseline_window_s),
+        "n_rate": rn - older(stat_cfg.rate_window_s),
+        "first_epoch": F.min("epoch").over(w_rng),
+    })
 
-    # --- spike columns (SpikeDetector.cpp:158-213) ---
+    # --- spike ratio (SpikeDetector.cpp:158-213) and statistical rate
+    # (StatisticalDetector.cpp:154-222): plain expressions over the window
+    # layer, materialized together so the prefix mean/stddev can window
+    # over ``rate`` next ---
     ratio = (F.col("cur") / F.lit(float(spike_cfg.short_window_s))) / (
         F.col("base") / F.lit(float(spike_cfg.baseline_window_s))
     )
-    df = df.withColumn("ratio", ratio)
-
-    # --- statistical columns (StatisticalDetector.cpp:154-222) ---
     n = F.col("n_rate")
     span = F.greatest(
         F.lit(1.0), (F.col("epoch") - F.col("first_epoch")).cast("double")
@@ -81,23 +85,21 @@ def spike_statistical_anomalies(
     rate = F.when(
         n < 2, n.cast("double") * 60.0 / float(stat_cfg.rate_window_s)
     ).otherwise(n.cast("double") / F.greatest(F.lit(1e-6), span / 60.0))
-    df = df.withColumn("rate", rate)
+    df = df.withColumns({"ratio": ratio, "rate": rate})
+
     w_prefix = w_ev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df = (
-        df.withColumn("mean", F.avg("rate").over(w_prefix))
-        .withColumn("sd_raw", F.stddev_samp("rate").over(w_prefix))
-        .withColumn(
-            "sd",
-            F.coalesce(
-                F.when(F.col("sd_raw") > 0.0, F.col("sd_raw")), F.lit(0.0)
-            ),
-        )
+    df = df.withColumns({
+        "mean": F.avg("rate").over(w_prefix),
+        "sd_raw": F.stddev_samp("rate").over(w_prefix),
+    })
+    sd = F.coalesce(
+        F.when(F.col("sd_raw") > 0.0, F.col("sd_raw")), F.lit(0.0)
     )
     z = F.when(
-        (F.col("rn") >= stat_cfg.warmup_count) & (F.col("sd") != 0.0),
-        (F.col("rate") - F.col("mean")) / F.col("sd"),
+        (F.col("rn") >= stat_cfg.warmup_count) & (sd != 0.0),
+        (F.col("rate") - F.col("mean")) / sd,
     ).otherwise(F.lit(0.0))
-    df = df.withColumn("z", z)
+    df = df.withColumns({"sd": sd, "z": z})
 
     fire_spike = (
         (F.col("source") != "")
@@ -106,20 +108,16 @@ def spike_statistical_anomalies(
         & (F.col("base") >= spike_cfg.min_baseline)
     )
     fire_stat = F.abs(F.col("z")) > stat_cfg.z_threshold
-    df = (
-        df.withColumn("fire_spike", fire_spike)
-        .withColumn("fire_stat", fire_stat)
-        .filter(F.col("fire_spike") | F.col("fire_stat"))
-    )
+    df = df.withColumns(
+        {"fire_spike": fire_spike, "fire_stat": fire_stat}
+    ).filter(F.col("fire_spike") | F.col("fire_stat"))
 
     # descriptions: Arrow UDFs evaluate only on the (few) fired rows
     fmt_spike = _fmt_factory(spike_cfg.short_window_s)
-    df = df.withColumn(
-        "desc_spike", fmt_spike(F.col("source"), F.col("cur"), F.col("ratio"))
-    ).withColumn(
-        "desc_stat",
-        _fmt()(F.col("source"), F.col("z"), F.col("mean"), F.col("sd")),
-    )
+    df = df.withColumns({
+        "desc_spike": fmt_spike(F.col("source"), F.col("cur"), F.col("ratio")),
+        "desc_stat": _fmt()(F.col("source"), F.col("z"), F.col("mean"), F.col("sd")),
+    })
 
     sev_spike = F.least(
         F.lit(1.0), (F.col("ratio") - 1.0) / (spike_cfg.threshold - 1.0)
