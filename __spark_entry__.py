@@ -1004,11 +1004,14 @@ FROM s GROUP BY 1, 2
 
 
 def q_burst_detector(spark, sf_dir):
-    """W3 burst detector (trim-on-emit stateful scan, applyInPandas) on the
-    DENSE transcript rendering of events — genuinely non-SQL-expressible
-    (emission mutates retained state); driver records rows-only (non-vacuous:
-    hundreds of fires at sf0.001+), full row equality on this exact rendering
-    is pytest-verified against the python oracle
+    """W3 burst detector (trim-on-emit stateful scan, mapInPandas) on the
+    DENSE transcript rendering of events. DuckDB-PAIRED since round 5: the
+    trim-on-emit state machine is not a SQL *window* (emission mutates the
+    retained deque), but the deque is bounded at min_repeats elements
+    (burst.py scan invariant), so a RECURSIVE CTE that steps one row per
+    group per iteration carrying the retained-epoch LIST expresses it
+    exactly — see _burst_detector_sql(). Full row equality on this exact
+    rendering is additionally pytest-verified against the python oracle
     (tests/test_driver_rendering.py)."""
     _utc(spark)
     from intelligent_log_analysis_anomaly_detection_tool_spark.config import BurstConfig
@@ -1023,6 +1026,97 @@ def q_burst_detector(spark, sf_dir):
     return burst_anomalies(
         parse_stage(tr), BurstConfig(min_repeats=BURST_DRIVER_MIN_REPEATS)
     )
+
+
+def _burst_detector_sql(step_s: int = BURST_DRIVER_STEP_S,
+                        min_repeats: int = BURST_DRIVER_MIN_REPEATS,
+                        window_s: int = 60) -> str:
+    """Closed-form oracle for q_burst_detector (BurstPatternDetector.cpp:
+    18-116 semantics on the dense rendering).
+
+    The detector is stateful (fire at count >= m, then if count > m trim the
+    retained deque to m//2), so no single window frame expresses it — but the
+    state is a bounded list (never ends a row above m elements), which a
+    RECURSIVE CTE can carry: iteration k processes every group's k-th row
+    (breadth-first), appends the epoch, evicts the prefix older than
+    window_s (the engine evicts a PREFIX while front < lo — replicated with
+    list_position on the first in-window element, not a filter, so
+    out-of-order epochs would diverge identically), emits when
+    len >= min_repeats, and carries the post-trim list.
+
+    Group key: the oracle groups by the normalized-message VALUE
+    (lower -> hex>=8 -> <id> -> \\d+ -> <n> -> ws collapse) where the engine
+    groups by xxhash64(source, level_ord, norm) — equal up to 64-bit hash
+    collisions. The rendered message embeds value's double->string form;
+    digits normalize to <n> on both engines, so only STRUCTURAL formatting
+    divergence (E-notation) could split groups differently — guarded with
+    error() on any value outside the structurally-stable range.
+    """
+    keep = max(1, min_repeats // 2)
+    return f"""
+WITH RECURSIVE tr AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - 1 AS INTEGER) AS turn_idx,
+         CAST(floor(epoch(min(ts) OVER (PARTITION BY user_id))) AS BIGINT)
+           + {step_s} * (row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) - 1)
+           AS es,
+         CASE WHEN event_type = 'error' THEN 'ERROR'
+              WHEN event_type = 'purchase' THEN 'WARN'
+              ELSE 'INFO' END AS source,
+         CASE WHEN value < 0 OR abs(value) >= 1e7
+                   OR (value <> 0 AND abs(value) < 1e-3)
+              THEN error('value outside the double-formatting-stable range')
+              ELSE trim(regexp_replace(regexp_replace(regexp_replace(
+                lower('- type=' || event_type || ' value='
+                      || CAST(value AS VARCHAR)
+                      || ' user=' || CAST(user_id AS VARCHAR)),
+                '[0-9a-f]{{8,}}', '<id>', 'g'),
+                '\\b\\d+\\b', '<n>', 'g'),
+                '\\s+', ' ', 'g'))
+         END AS norm
+  FROM events
+), g AS (
+  SELECT conv_id, source, norm, turn_idx, es,
+         row_number() OVER (PARTITION BY conv_id, source, norm
+                            ORDER BY turn_idx) AS rn
+  FROM tr
+), scan AS (
+  SELECT conv_id, source, norm, rn, turn_idx, es,
+         [es] AS carry, 1 >= {min_repeats} AS fired, es AS ws, es AS we,
+         CAST(1 AS DOUBLE) AS score
+  FROM g WHERE rn = 1
+  UNION ALL
+  SELECT conv_id, source, norm, rn, turn_idx, es,
+         CASE WHEN c > {min_repeats} THEN kept[-{keep}:] ELSE kept END
+           AS carry,
+         c >= {min_repeats} AS fired, kept[1] AS ws, kept[-1] AS we,
+         CAST(c AS DOUBLE) AS score
+  FROM (
+    SELECT *, len(kept) AS c FROM (
+      SELECT r.conv_id, r.source, r.norm, r.rn, r.turn_idx, r.es,
+             list_slice(app, list_position(
+               list_transform(app, x -> x >= r.es - {window_s}), true),
+               len(app)) AS kept
+      FROM (
+        SELECT r2.*, list_append(s.carry, r2.es) AS app
+        FROM scan s JOIN g r2
+          ON r2.conv_id = s.conv_id AND r2.source = s.source
+         AND r2.norm = s.norm AND r2.rn = s.rn + 1
+      ) r
+    )
+  )
+)
+SELECT conv_id, turn_idx, 'burst' AS detector, 3 AS anomaly_type,
+       2 AS severity,
+       CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(we) AS TIMESTAMP) AS window_end,
+       score, source,
+       'Burst repetition detected: ' || CAST(CAST(score AS BIGINT) AS VARCHAR)
+         || ' repeats within {window_s}s' AS description
+FROM scan WHERE fired
+"""
 
 
 def q_statistical_detector(spark, sf_dir):
@@ -1392,6 +1486,7 @@ def oracle_sql() -> dict[str, str]:
         "novel_grams": _novel_grams_sql(),
         "pattern_novel": _pattern_novel_sql(),
         "statistical_detector": _statistical_detector_sql(),
+        "burst_detector": _burst_detector_sql(),
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "binary_meta": SQL_BINARY_META,
         "cosine_near_dup": SQL_COSINE_NEAR_DUP,
