@@ -126,6 +126,37 @@ def _measure(cpus: int) -> dict:
             "turns_per_sec": round(rows / wall, 1), **mix}
 
 
+class _Failed:
+    returncode = -1
+    stdout = ""
+    stderr = "trial timed out (process group killed)"
+
+
+def _run_trial(cmd: list, timeout: int):
+    """subprocess.run equivalent that kills the WHOLE process group on
+    timeout (subprocess's own kill orphans the Spark JVM) and returns a
+    failed-result sentinel instead of raising."""
+    import signal
+
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO, start_new_session=True,
+    )
+    try:
+        out, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        return _Failed()
+    res = _Failed()
+    res.returncode = proc.returncode
+    res.stdout, res.stderr = out, err
+    return res
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--run":
         print(json.dumps(_measure(int(sys.argv[2]))))
@@ -161,10 +192,12 @@ def main() -> None:
             cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cpus)]
             if os.environ.get("SPARK_GRAFT_BENCH_PIN", "0") == "1":
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            out = subprocess.run(
-                cmd,
-                capture_output=True, text=True, cwd=REPO, timeout=7200,
-            )
+            # same hardening as bench.py (ADVICE r4): a hung trial (e.g. a
+            # silently-dead python worker wedging an Arrow read, observed
+            # round 5) must neither abort the whole matrix nor leave an
+            # orphan JVM contending with the retry — new session + killpg
+            out = _run_trial(cmd, timeout=int(
+                os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "3600")))
             if out.returncode == 0:
                 break
             print(out.stderr[-4000:], file=sys.stderr)
