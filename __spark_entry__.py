@@ -783,17 +783,69 @@ FROM documents
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """ANN scale path: IVF cell-pruned approximate top-10 (Spark-only —
-    recall vs the brute-force baseline is pytest-verified; driver records a
-    rows-only check)."""
+    """ANN scale path: IVF cell-pruned approximate top-10, fully paired.
+
+    Uses ``centroid_mode="first_n"`` (centroids = the first 8 vectors), the
+    one IVF variant whose ENTIRE pruned pipeline — nearest-centroid
+    assignment (cosine argmax, ties to lowest centroid id), top-nprobe probe
+    ranking, cell-pruned candidate scan, rounded top-k — is closed-form SQL,
+    so the DuckDB oracle replays pruning and all (round-5: last rows-only
+    gate entry paired). The production default, seeded spherical k-means
+    centroids (better recall on clustered data), is not SQL-expressible;
+    it stays recall-pytested (tests/test_dataops.py)."""
     _utc(spark)
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.similarity import (
         ivf_topk,
     )
 
     return ivf_topk(
-        _embeddings(spark, sf_dir), query_vec_id=0, k=10, n_centroids=8, nprobe=2
+        _embeddings(spark, sf_dir), query_vec_id=0, k=10, n_centroids=8,
+        nprobe=2, centroid_mode="first_n",
     )
+
+
+# Closed-form replay of the pruned IVF pipeline (first_n centroids):
+# assignment, probe ranking, and final scoring all use the same
+# double-precision cosine as the engine (sequential fold == list_dot_product
+# on DOUBLE[], proven bit-stable by the paired embedding_topk entry).
+SQL_ANN_IVF_TOPK = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.centroid_id
+           ) AS rk
+    FROM e, c
+  ) WHERE rk = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM c, q
+  ORDER BY list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv))
+              * sqrt(list_dot_product(qv, qv))) DESC,
+           centroid_id
+  LIMIT 2
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.v, qv)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+FROM assigned a JOIN probe USING (centroid_id), q
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10
+"""
 
 
 def q_simhash_near_dup(spark, sf_dir):
@@ -1493,6 +1545,8 @@ def oracle_sql() -> dict[str, str]:
         "median_by_type": SQL_MEDIAN_BY_TYPE,
         "sessionize": SQL_SESSIONIZE,
         "region_revenue": SQL_REGION_REVENUE,
-        # ann_ivf_topk: intentionally no SQL oracle (approximate by design);
-        # driver records rows-only.
+        # round 5: ann_ivf_topk paired via the first_n-centroid variant —
+        # the full pruned pipeline (assignment + probe + cell-pruned scan)
+        # replayed in SQL; kmeans mode stays recall-pytested.
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     }

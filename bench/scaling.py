@@ -123,7 +123,8 @@ def _measure(cpus: int) -> dict:
     mix = _cpu_mix(ticks0, _cpu_ticks())
     spark.stop()
     return {"cpus": cpus, "rows": rows, "wall_sec": round(wall, 2),
-            "turns_per_sec": round(rows / wall, 1), **mix}
+            "turns_per_sec": round(rows / wall, 1),
+            "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "24g"), **mix}
 
 
 class _Failed:
@@ -132,7 +133,7 @@ class _Failed:
     stderr = "trial timed out (process group killed)"
 
 
-def _run_trial(cmd: list, timeout: int):
+def _run_trial(cmd: list, timeout: int, env: dict | None = None):
     """subprocess.run equivalent that kills the WHOLE process group on
     timeout (subprocess's own kill orphans the Spark JVM) and returns a
     failed-result sentinel instead of raising."""
@@ -140,7 +141,7 @@ def _run_trial(cmd: list, timeout: int):
 
     proc = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        cwd=REPO, start_new_session=True,
+        cwd=REPO, start_new_session=True, env=env,
     )
     try:
         out, err = proc.communicate(timeout=timeout)
@@ -192,12 +193,27 @@ def main() -> None:
             cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cpus)]
             if os.environ.get("SPARK_GRAFT_BENCH_PIN", "0") == "1":
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            env = os.environ.copy()
+            # Cluster-faithful memory mode: a real N->4N scale-up multiplies
+            # TOTAL cluster memory by 4 (each executor is identical), while
+            # a single shared local-JVM heap silently divides per-task memory
+            # by the parallelism level — a confound the 111M A/B measured
+            # directly (L8@24g 63-77k turns/s vs L8@64g 94.2k at 0% steal,
+            # L2 flat). SPARK_GRAFT_BENCH_MEM_PER_CORE=<GiB> holds heap
+            # per core constant across levels (heap = cpus * GiB), which is
+            # what "two cluster sizes" means on real hardware. Off by
+            # default: the shipped engine default (24g constant) stays the
+            # config of record; this mode is measurement methodology, not
+            # engine tuning, and artifacts record which mode produced them.
+            mem_per_core = os.environ.get("SPARK_GRAFT_BENCH_MEM_PER_CORE")
+            if mem_per_core:
+                env["SPARK_DRIVER_MEM"] = f"{int(mem_per_core) * cpus}g"
             # same hardening as bench.py (ADVICE r4): a hung trial (e.g. a
             # silently-dead python worker wedging an Arrow read, observed
             # round 5) must neither abort the whole matrix nor leave an
             # orphan JVM contending with the retry — new session + killpg
             out = _run_trial(cmd, timeout=int(
-                os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "3600")))
+                os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "3600")), env=env)
             if out.returncode == 0:
                 break
             print(out.stderr[-4000:], file=sys.stderr)
