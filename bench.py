@@ -47,7 +47,7 @@ def _run_concurrent_pipeline(spark, tr) -> float:
     from concurrent.futures import ThreadPoolExecutor
 
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
-        parse_stage,
+        parse_stage_pipeline as parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
         minute_stats,
@@ -156,7 +156,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
-        parse_stage,
+        parse_stage_pipeline as parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
         minute_stats,

@@ -30,7 +30,7 @@ sys.path.insert(0, REPO)
 
 from pyspark import StorageLevel
 
-from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import parse_stage
+from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import parse_stage_pipeline as parse_stage
 from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import minute_stats
 from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
     offline_anomaly_builders,

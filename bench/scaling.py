@@ -63,7 +63,7 @@ def _cpu_mix(t0: tuple, t1: tuple) -> dict:
 
 def _measure(cpus: int) -> dict:
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
-        parse_stage,
+        parse_stage_pipeline as parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
         minute_stats,

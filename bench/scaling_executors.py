@@ -53,7 +53,7 @@ def _measure(n_exec: int) -> dict:
     from concurrent.futures import ThreadPoolExecutor
 
     from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
-        parse_stage,
+        parse_stage_pipeline as parse_stage,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
         minute_stats,

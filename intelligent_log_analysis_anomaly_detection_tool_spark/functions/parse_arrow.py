@@ -316,25 +316,39 @@ def parse_arrays(text: pa.Array) -> dict:
     }
 
 
-def parse_stage_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """mapInArrow parse: input columns + parsed columns, no pandas objects."""
+def parse_stage_arrow(df: DataFrame, text_col: str = "text",
+                      drop: tuple[str, ...] = ()) -> DataFrame:
+    """mapInArrow parse: input columns + parsed columns, no pandas objects.
+
+    ``drop`` names columns omitted from the OUTPUT schema. Dropped input
+    columns other than ``text_col`` are also projected out BEFORE the
+    exchange, so they never cross the Arrow boundary in either direction;
+    ``text_col`` still crosses inbound (it is what gets parsed) but is not
+    serialized back when listed. A projection after mapInArrow cannot do
+    this — the map is a barrier Catalyst will not push a Project through."""
     from pyspark.sql.types import StructType
 
+    drop_set = set(drop)
+    in_drop = [c for c in drop_set - {text_col} if c in df.columns]
+    if in_drop:
+        df = df.drop(*in_drop)
     in_schema = df.schema
-    out_schema = StructType(list(in_schema.fields) + list(PARSED_STRUCT.fields))
+    out_fields = [f for f in list(in_schema.fields) + list(PARSED_STRUCT.fields)
+                  if f.name not in drop_set]
+    out_schema = StructType(out_fields)
+    out_names = [f.name for f in out_fields]
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
             parsed = parse_arrays(cols[text_col])
-            arrays = list(batch.columns) + [
-                parsed[f.name] for f in PARSED_STRUCT.fields
-            ]
-            names = list(batch.schema.names) + [f.name for f in PARSED_STRUCT.fields]
+            by_name = dict(cols)
+            by_name.update({f.name: parsed[f.name] for f in PARSED_STRUCT.fields})
+            arrays = [by_name[n] for n in out_names]
             yield pa.RecordBatch.from_arrays(
                 [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
                  for a in arrays],
-                names=names,
+                names=out_names,
             )
 
     out = df.filter(F.length(F.col(text_col)) > 0)

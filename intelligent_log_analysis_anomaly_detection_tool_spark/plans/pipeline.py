@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..functions.parse_select import parse_stage
+from ..functions.parse_select import parse_stage_pipeline
 from ..operators.aggregates import level_stats, minute_stats, source_stats, totals
 from ..operators.detectors.burst import burst_anomalies
 from ..operators.detectors.common import S_LOW, T_OTHER, as_anomaly
@@ -149,7 +149,11 @@ def run_pipeline(
     sinks.write_all for the physical layout).
     """
     d = dims(spark)
-    parsed = parse_stage(transcripts)
+    # Narrowed parse (parse_stage_pipeline): raw text/ts/was_json never reach
+    # the cache — no branch below reads them, and at 1e8+ rows raw text alone
+    # would double the persisted footprint (= per-task memory pressure at
+    # high parallelism on a fixed executor heap).
+    parsed = parse_stage_pipeline(transcripts)
     parsed = parsed.persist()
 
     online = online_anomalies(parsed, cfg)
