@@ -23,20 +23,66 @@ from pyspark.sql import functions as F
 
 LEVEL_KEYS = ["trace", "debug", "info", "warn", "error", "critical", "unknown"]
 
+# bounded chunk for with_minute's prefix-scan decomposition (tests shrink it
+# to force the multi-chunk carry path)
+_MINUTE_CHUNK_ROWS = 8192
+
 
 def with_minute(parsed: DataFrame) -> DataFrame:
     """Minute bucket per row; malformed rows inherit the last parsed bucket
-    earlier in the same conversation (NULL if none yet)."""
+    earlier in the same conversation (NULL if none yet).
+
+    The running last-non-null is a prefix scan, decomposed so a hot
+    conversation (~10% of all rows in one conv_id in the bench corpus)
+    never serializes into a single window task (round 5 — same skew fix as
+    the pattern stage's chunked base): a local scan inside bounded chunks of
+    C rows partitioned by (conv_id, turn_idx // C), plus a carry-in per
+    chunk = the last parsed minute of all EARLIER chunks, computed from a
+    per-chunk map-combined aggregate (~rows/C output) and joined back on the
+    chunk key. The join key equals the window's partitioning, so at scale it
+    co-partitions with the exchange the window already pays; at small scale
+    AQE broadcasts the tiny carry side."""
+    C = _MINUTE_CHUNK_ROWS
     own = F.when(
         ~F.col("malformed"), F.date_trunc("minute", F.col("ts_parsed"))
     )
-    w = (
-        Window.partitionBy("conv_id")
+    df = parsed.withColumn("_own", own).withColumn(
+        "_mb", F.floor(F.col("turn_idx") / C).cast("long")
+    )
+    w_loc = (
+        Window.partitionBy("conv_id", "_mb")
         .orderBy("turn_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return parsed.withColumn(
-        "minute", F.last(own, ignorenulls=True).over(w)
+    # last parsed minute per chunk: max of (turn_idx, own) structs ignores
+    # the NULL-own rows and picks the latest-by-turn value — portable
+    # last-non-null as an aggregate, so the full-row pass map-combines
+    blast = df.groupBy("conv_id", "_mb").agg(
+        F.max(
+            F.when(
+                F.col("_own").isNotNull(),
+                F.struct(F.col("turn_idx"), F.col("_own").alias("v")),
+            )
+        ).alias("_s")
+    ).select("conv_id", "_mb", F.col("_s.v").alias("_bl"))
+    w_prev = (
+        Window.partitionBy("conv_id")
+        .orderBy("_mb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = blast.select(
+        "conv_id", "_mb", F.last("_bl", ignorenulls=True).over(w_prev).alias("_carry")
+    )
+    # window BEFORE the join: the window's own ENSURE_REQUIREMENTS exchange
+    # hashes on BOTH (conv_id, _mb); joining first lets the planner satisfy
+    # join + window with ONE conv_id-only exchange (subset co-partitioning),
+    # which puts the whole hot conversation back into a single partition —
+    # the exact straggler this decomposition removes (plan-probed)
+    local = df.withColumn("_loc", F.last("_own", ignorenulls=True).over(w_loc))
+    return (
+        local.join(carries, ["conv_id", "_mb"])
+        .withColumn("minute", F.coalesce(F.col("_loc"), F.col("_carry")))
+        .drop("_own", "_mb", "_carry", "_loc")
     )
 
 

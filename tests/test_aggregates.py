@@ -124,3 +124,49 @@ def test_full_pipeline_counts(spark, fixture_df, oracle_result, tmp_path):
     assert metrics["parsed"] == (~oracle_result["parsed"]["malformed"]).sum()
     assert metrics["malformed"] == oracle_result["parsed"]["malformed"].sum()
     assert metrics["emitted_anomalies"] == len(oa)
+
+
+def test_with_minute_chunked_carry(spark, monkeypatch):
+    """The prefix-scan decomposition of with_minute (round 5): force the
+    multi-chunk path with a 3-row chunk and pin against a pandas ffill.
+    Layout stresses every carry case: a malformed prefix before any parsed
+    row (stays NULL), whole chunks of only-malformed rows (carry crosses
+    several chunk boundaries), and turn_idx gaps."""
+    import pandas as pd
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators import (
+        aggregates as agg_mod,
+    )
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
+        with_minute,
+    )
+
+    rows = []
+    # conv x: malformed until turn 4; parsed at 4 and 17; malformed chunks
+    # 2..4 in between (C=3); turn gaps at 8..12
+    ts = lambda m: pd.Timestamp(f"2024-01-01 00:{m:02d}:30")
+    for i in [0, 1, 2, 3]:
+        rows.append(("x", i, True, None))
+    rows.append(("x", 4, False, ts(4)))
+    for i in [5, 6, 7, 13, 14, 15, 16]:
+        rows.append(("x", i, True, None))
+    rows.append(("x", 17, False, ts(17)))
+    rows.append(("x", 18, True, None))
+    # conv y: all parsed, single chunk
+    for i in range(3):
+        rows.append(("y", i, False, ts(i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "malformed",
+                                      "ts_parsed"])
+    df = spark.createDataFrame(pdf)
+
+    monkeypatch.setattr(agg_mod, "_MINUTE_CHUNK_ROWS", 3)
+    got = (
+        with_minute(df).select("conv_id", "turn_idx", "minute").toPandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+
+    exp = pdf.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    own = exp["ts_parsed"].where(~exp["malformed"]).dt.floor("min")
+    exp["minute"] = own.groupby(exp["conv_id"]).ffill()
+    pd.testing.assert_series_equal(
+        got["minute"], exp["minute"], check_names=False)
