@@ -42,44 +42,19 @@ def _noop_write(df) -> None:
 
 
 def _run_concurrent_pipeline(spark, tr) -> float:
-    """The real job shape: parse once, then the online->minutes chain and the
-    offline branch submitted concurrently. Returns wall seconds."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
-        parse_stage_pipeline as parse_stage,
-    )
-    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
-        minute_stats,
-    )
+    """The real job shape (plans.pipeline.run_concurrent_dag): parse once,
+    then the online->minutes chain and the offline branches submitted
+    concurrently, with action-free plan construction overlapped with the
+    parse job. Returns wall seconds."""
     from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
-        offline_anomaly_builders,
-        online_anomalies,
+        run_concurrent_dag,
     )
 
     t0 = time.time()
-    parsed = parse_stage(tr).persist()
-    parsed.count()
-    online = online_anomalies(parsed).persist()
-
-    def _online_then_minutes():
-        online.count()
-        _noop_write(minute_stats(parsed, online))
-
-    # one writer per offline analyzer, each constructing ITS OWN plan inside
-    # its thread (round 5): frequency/timewindow submit and run while the
-    # pattern branch's blocking plan-choice action is still in flight —
-    # before this the single offline-union write idled the cluster behind it
-    builders = offline_anomaly_builders(parsed)
-    jobs = [_online_then_minutes] + [
-        (lambda b=b: _noop_write(b())) for b in builders.values()
-    ]
-    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-        for f in [ex.submit(j) for j in jobs]:
-            f.result()
+    frames = run_concurrent_dag(tr, action=_noop_write)
     wall = time.time() - t0
-    parsed.unpersist()
-    online.unpersist()
+    frames["parsed"].unpersist()
+    frames["online"].unpersist()
     return wall
 
 

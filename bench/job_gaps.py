@@ -23,19 +23,11 @@ import os
 import sys
 import time
 import urllib.request
-from concurrent.futures import ThreadPoolExecutor
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark import StorageLevel
-
-from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import parse_stage_pipeline as parse_stage
-from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import minute_stats
-from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
-    offline_anomaly_builders,
-    online_anomalies,
-)
+from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import run_concurrent_dag
 from intelligent_log_analysis_anomaly_detection_tool_spark.session import get_spark
 
 
@@ -58,24 +50,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tr = spark.read.parquet(input_dir)
 
-    def noop(df):
-        df.write.format("noop").mode("overwrite").save()
-
     t0 = time.time()
-    parsed = parse_stage(tr).persist(StorageLevel.MEMORY_AND_DISK)
-    online = online_anomalies(parsed)
-
-    def _online_then_minutes():
-        online.count()
-        noop(minute_stats(parsed, online))
-
-    builders = offline_anomaly_builders(parsed)
-    jobs = [_online_then_minutes] + [
-        (lambda b=b: noop(b())) for b in builders.values()
-    ]
-    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-        for f in [ex.submit(j) for j in jobs]:
-            f.result()
+    run_concurrent_dag(tr)
     wall = time.time() - t0
 
     ui = spark.sparkContext.uiWebUrl

@@ -62,15 +62,8 @@ def _cpu_mix(t0: tuple, t1: tuple) -> dict:
 
 
 def _measure(cpus: int) -> dict:
-    from intelligent_log_analysis_anomaly_detection_tool_spark.functions.parse_select import (
-        parse_stage_pipeline as parse_stage,
-    )
-    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.aggregates import (
-        minute_stats,
-    )
     from intelligent_log_analysis_anomaly_detection_tool_spark.plans.pipeline import (
-        offline_anomaly_builders,
-        online_anomalies,
+        run_concurrent_dag,
     )
     from intelligent_log_analysis_anomaly_detection_tool_spark.session import get_spark
 
@@ -88,37 +81,13 @@ def _measure(cpus: int) -> dict:
     tr = spark.read.parquet(INPUT_DIR)
     rows = tr.count()
 
-    def noop(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    from concurrent.futures import ThreadPoolExecutor
-
+    # the engine's real concurrent job shape, shared with bench.py
+    # (plans.pipeline.run_concurrent_dag): parse-count submitted first,
+    # action-free branch plans constructed while it runs, then one writer
+    # thread per branch — identical job structure at every parallelism level
     ticks0 = _cpu_ticks()
     t0 = time.time()
-    parsed = parse_stage(tr).persist()
-    parsed.count()
-    # the two post-parse branches are independent — submit them concurrently
-    # (standard Spark multi-job scheduling) so the cluster never idles
-    # between driver-side submissions; identical structure at both levels
-    online = online_anomalies(parsed).persist()
-
-    def _online_then_minutes():
-        online.count()
-        noop(minute_stats(parsed, online))
-
-    # one thread per offline analyzer, each constructing its own plan
-    # (round 5, VERDICT item 2): frequency/timewindow submit and run while
-    # the pattern branch's blocking plan-choice action is in flight, instead
-    # of the whole offline union waiting behind it — identical job structure
-    # at every parallelism level
-    builders = offline_anomaly_builders(parsed)
-    jobs = [_online_then_minutes] + [
-        (lambda b=b: noop(b())) for b in builders.values()
-    ]
-    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-        futs = [ex.submit(j) for j in jobs]
-        for f in futs:
-            f.result()
+    run_concurrent_dag(tr)
     wall = time.time() - t0
     mix = _cpu_mix(ticks0, _cpu_ticks())
     spark.stop()

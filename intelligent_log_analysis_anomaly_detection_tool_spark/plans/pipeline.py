@@ -127,6 +127,67 @@ def all_anomalies(parsed: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> Da
     return online_anomalies(parsed, cfg).unionByName(offline_anomalies(parsed, cfg))
 
 
+def run_concurrent_dag(
+    transcripts: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    action=None,
+) -> dict[str, DataFrame]:
+    """Materialize the post-parse DAG with maximal plan/job overlap.
+
+    The engine's real concurrent job shape (what bench.py and
+    bench/scaling.py measure): parse once into a persisted frame, then the
+    online->minutes chain and the three offline analyzers run as concurrent
+    jobs, ``action`` (default: a noop-format write) materializing each leaf.
+
+    Round-5 refinement: the parse-materialize count is submitted FIRST, and
+    every action-free branch plan (online union, frequency, timewindow,
+    minute pivot) is constructed WHILE that job runs — previously the driver
+    built the online plan with the cluster idle (~2 s at sf0.1, measured
+    with bench/job_gaps.py), pure serial fraction that no core count can
+    shrink. Only the pattern branch's construction stays post-parse: its
+    plan choice runs a bounded ``limit().toPandas()`` action that must read
+    the already-materialized cache (running it during the parse count would
+    recompute the parse work concurrently — a cache stampede).
+
+    Returns the persisted frames so callers control unpersist timing.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..functions.parse_select import parse_stage_pipeline
+    from ..operators.aggregates import minute_stats
+
+    if action is None:
+        def action(df):  # noqa: E306 — default leaf materializer
+            df.write.format("noop").mode("overwrite").save()
+
+    parsed = parse_stage_pipeline(transcripts).persist()
+    builders = offline_anomaly_builders(parsed, cfg)
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        parse_fut = ex.submit(parsed.count)
+        # action-free plan construction, overlapped with the parse job
+        online = online_anomalies(parsed, cfg).persist()
+        freq_plan = builders["frequency"]()
+        tw_plan = builders["timewindow"]()
+        minutes_plan = minute_stats(parsed, online)
+        parse_fut.result()
+
+        def _online_then_minutes():
+            # minutes reads the persisted online union — keep it behind the
+            # online count so concurrent jobs never race to fill that cache
+            online.count()
+            action(minutes_plan)
+
+        futs = [
+            ex.submit(_online_then_minutes),
+            ex.submit(lambda: action(freq_plan)),
+            ex.submit(lambda: action(builders["pattern"]())),
+            ex.submit(lambda: action(tw_plan)),
+        ]
+        for f in futs:
+            f.result()
+    return {"parsed": parsed, "online": online}
+
+
 def report_order(anomalies: DataFrame, limit: int | None = None) -> DataFrame:
     """O1 anomaly ordering: severity desc, score desc, window_end desc,
     description asc; then cap (JsonReporter.cpp:50-62, CsvReporter.cpp:44-53)."""
