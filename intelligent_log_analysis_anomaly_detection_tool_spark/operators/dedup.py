@@ -563,13 +563,152 @@ def simhash64_md5(docs: DataFrame, text_col: str = "text",
     return g.select(F.col(id_col), fp.alias("simhash"))
 
 
+def _hamming_masks(fp_bits: int, max_hamming: int) -> list[int]:
+    """All nonzero XOR masks of width fp_bits with popcount <= max_hamming."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(1, max_hamming + 1):
+        for bits in combinations(range(fp_bits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def _cross_pairs_kernel(batches):
+    """mapInArrow kernel for the dense Hamming path: per (ids_a, ids_b,
+    hamming) row emit the full id cross product as (min, max, hamming).
+    Vectorized per row with numpy repeat/tile; the Python loop runs once per
+    VALUE pair (|V|-bounded), never per output row. Measured 5.4x faster than
+    the equivalent chained-Generate SQL explode (guide 4.2)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        ia_col = b.column("ids_a")
+        ib_col = b.column("ids_b")
+        ham = b.column("hamming").to_numpy(zero_copy_only=False)
+        outs_a, outs_b, outs_h = [], [], []
+        for i in range(b.num_rows):
+            a = np.asarray(ia_col[i].values)
+            bb = np.asarray(ib_col[i].values)
+            la, lb = len(a), len(bb)
+            outs_a.append(np.repeat(a, lb))
+            outs_b.append(np.tile(bb, la))
+            outs_h.append(np.full(la * lb, ham[i], dtype=np.int32))
+        A = np.concatenate(outs_a)
+        B = np.concatenate(outs_b)
+        yield pa.record_batch(
+            [pa.array(np.minimum(A, B)), pa.array(np.maximum(A, B)),
+             pa.array(np.concatenate(outs_h))],
+            names=["doc_a", "doc_b", "hamming"],
+        )
+
+
+def _hamming_dense_value_space(sim: DataFrame, id_col: str, max_hamming: int,
+                               fp_bits: int) -> DataFrame:
+    """Output-proportional Hamming pairs for NARROW fingerprints (r6).
+
+    When the fingerprint space is small (2^fp_bits values), documents
+    collapse onto few distinct fingerprint VALUES, and the block-permutation
+    candidate join degenerates: 4-bit blocks have 16 bucket values, so the
+    equi-join materializes ~N^2/8 skewed candidate rows through a distinct
+    (483 s at 50k docs for a 230M-row result). Instead, work in value space:
+
+    1. group ids per distinct fingerprint value V (|V| <= 2^fp_bits),
+    2. enumerate every value's Hamming ball by XOR with the
+       sum(C(fp_bits, 1..k)) masks (697 at 16 bits / k=3) and keep the
+       neighbors actually present — a slim |V| x masks probe, never a join
+       on 4-bit blocks,
+    3. explode the two id lists per surviving value pair; identical-value
+       pairs (hamming 0) come from one within-list explode.
+
+    Every unordered doc pair with distance <= k appears exactly once (the
+    value pair (v1 < v2) is unique and a doc has one fingerprint), so no
+    distinct is needed: total work is O(|V| * masks + output). The per-value
+    id lists are broadcast (O(N) ids); that is safe precisely when this path
+    fires, because a corpus big enough for the lists to matter makes the
+    near-quadratic OUTPUT of a narrow fingerprint astronomically larger.
+
+    Physical notes (r6, measured at 50k docs / 230M output pairs):
+    - ``g`` is referenced four times downstream (vals, vset and both id-list
+      attach sides); an eager localCheckpoint materializes the fingerprint
+      aggregation ONCE instead of four plan copies.
+    - the slim (v1, v2, m) value-pair stream is round-robin repartitioned to
+      2x defaultParallelism before the id lists are attached: AQE coalesces
+      the tiny |V|-row shuffle to ONE partition, which would serialize the
+      entire output explode into a single task (149 s -> ~5 s)."""
+    g = sim.groupBy("simhash").agg(
+        F.collect_list(id_col).alias("ids")
+    ).localCheckpoint(eager=True)
+    nparts = sim.sparkSession.sparkContext.defaultParallelism * 2
+    mask_arr = F.array(
+        *[F.lit(m) for m in _hamming_masks(fp_bits, max_hamming)]
+    )
+    vals = g.select(F.col("simhash").alias("v1"))
+    nb = (
+        vals.select("v1", F.explode(mask_arr).alias("m"))
+        .withColumn("v2", F.col("v1").bitwiseXOR(F.col("m")))
+        .filter(F.col("v1") < F.col("v2"))
+    )
+    vset = g.select(F.col("simhash").alias("v2"))
+    vp = nb.join(F.broadcast(vset), "v2").repartition(nparts)
+    ga = g.select(F.col("simhash").alias("v1"), F.col("ids").alias("ids_a"))
+    gb = g.select(F.col("simhash").alias("v2"), F.col("ids").alias("ids_b"))
+    joined = (
+        vp.join(F.broadcast(ga), "v1")
+        .join(F.broadcast(gb), "v2")
+        .withColumn("hamming", F.bit_count(F.col("m")).cast("int"))
+        .select("ids_a", "ids_b", "hamming")
+    )
+    id_type = sim.schema[id_col].dataType.simpleString()
+    if id_type in ("bigint", "int"):
+        diff = joined.mapInArrow(
+            _cross_pairs_kernel,
+            f"doc_a {id_type}, doc_b {id_type}, hamming int",
+        )
+    else:  # non-integral ids: chained-Generate explode (same rows, slower)
+        diff = (
+            joined.select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+            .select("ia", F.explode("ids_b").alias("ib"), "hamming")
+            .select(
+                F.least("ia", "ib").alias("doc_a"),
+                F.greatest("ia", "ib").alias("doc_b"),
+                "hamming",
+            )
+        )
+    same = (
+        g.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.lit(0).cast("int"))
+    )
+    return diff.unionByName(same)
+
+
 def hamming_near_dup_pairs(sim: DataFrame, id_col: str = "doc_id",
                            max_hamming: int = 3, *, fp_bits: int) -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance <= k, using the standard
-    block-permutation trick (Manku/Jain/Das Sarma, WWW 2007): split the
-    fingerprint into (k+1) blocks; by pigeonhole, any pair within distance k
-    agrees on at least one block, so candidate pairs come from equi-joins on
-    (block_idx, block_val) — never a cross product.
+    """SimHash near-dup pairs by Hamming distance <= k.
+
+    WIDE fingerprints use the standard block-permutation trick
+    (Manku/Jain/Das Sarma, WWW 2007): split the fingerprint into (k+1)
+    blocks; by pigeonhole, any pair within distance k agrees on at least one
+    block, so candidate pairs come from equi-joins on (block_idx, block_val)
+    — never a cross product.
+
+    NARROW fingerprints (Hamming ball sum(C(fp_bits,0..k)) <= 4096 masks,
+    e.g. 16 bits at k=3 = 697) dispatch to the dense value-space plan
+    (_hamming_dense_value_space): blocks of fp_bits//(k+1) bits would have
+    so few bucket values (16 at 4 bits) that the candidate join is
+    near-all-pairs AND skewed onto a handful of join keys, while the value
+    space is small enough to enumerate each fingerprint's Hamming ball
+    directly — making the whole operator output-proportional. Output is
+    row-identical on both paths (pinned by tests/test_dataops.py).
 
     ``fp_bits`` is REQUIRED (no default) and must match the fingerprint width
     of ``sim`` (64 for simhash64, 16 for the oracle-checkable simhash16): a
@@ -577,12 +716,14 @@ def hamming_near_dup_pairs(sim: DataFrame, id_col: str = "doc_id",
     every document agrees — silently degenerating the candidate join to
     ~all-pairs (correct output after the bit_count filter, quadratic cost).
     Block width is fp_bits // (k+1): at 64 bits / k=3 that's 16-bit blocks
-    (~65k bucket values per block — selective); a 16-bit fingerprint at k=3
-    gives 4-bit blocks (16 values — near-all-pairs candidates), so prefer
-    simhash64 anywhere the candidate set matters."""
+    (~65k bucket values per block — selective)."""
     nblocks = max_hamming + 1
     if fp_bits < nblocks:
         raise ValueError(f"fp_bits={fp_bits} < blocks={nblocks}")
+    from math import comb
+
+    if sum(comb(fp_bits, r) for r in range(max_hamming + 1)) <= 4096:
+        return _hamming_dense_value_space(sim, id_col, max_hamming, fp_bits)
     width = fp_bits // nblocks
     blocks = sim.select(
         F.col(id_col),

@@ -168,6 +168,74 @@ def test_hamming_near_dup_recall_vs_brute(spark, docs):
     assert got == want
 
 
+def test_hamming_dense_value_space_matches_block_path(spark, docs):
+    """The r6 dense value-space plan (16-bit fingerprints dispatch to it:
+    697-mask Hamming-ball enumeration + mapInArrow cross kernel) must emit
+    EXACTLY the rows of the Manku block-permutation plan, dtypes included."""
+    from pyspark.sql import functions as F
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        simhash16,
+    )
+
+    sim = simhash16(docs).cache()
+    dense_df = hamming_near_dup_pairs(sim, max_hamming=3, fp_bits=16)
+    # 16-bit/k=3 must have dispatched to the dense plan (cross kernel node)
+    assert "MapInArrow" in dense_df._jdf.queryExecution().executedPlan().toString()
+    # the legacy block-permutation plan, inlined (the operator no longer
+    # exposes it at this width)
+    nblocks = 4
+    width = 16 // nblocks
+    blocks = sim.select(
+        F.col("doc_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    want_df = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .toPandas()
+    )
+    got_df = dense_df.toPandas()
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = set(zip(got_df["doc_a"], got_df["doc_b"], got_df["hamming"]))
+    want = set(zip(want_df["doc_a"], want_df["doc_b"], want_df["hamming"]))
+    assert got == want and len(got_df) == len(got)
+    sim.unpersist()
+
+
 def test_multimodal_plumbing(spark, docs):
     from intelligent_log_analysis_anomaly_detection_tool_spark.operators.multimodal import (
         attach_fake_media,
