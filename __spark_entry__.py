@@ -34,11 +34,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the documents file is tiny in bytes but row-heavy, so a stock
+    # 128 MB-split scan is 1-2 partitions and every per-row doc operator
+    # (tokenize/md5/shingle) serializes onto 1-2 cores; exact no-op once the
+    # scan is >= core-count partitions (operators/skew.py)
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.skew import (
+        spread_small_scan,
+    )
+
+    return spread_small_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.skew import (
+        spread_small_scan,
+    )
+
+    return spread_small_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def events_as_transcripts(spark: SparkSession, sf_dir: str,

@@ -114,15 +114,64 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
     minhash_i(doc) = min over shingles s of md5(s || '#' || i); fixed-width
     hex strings make the min identical across engines.
-    """
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+
+    Physical form (r6, output-identical): a per-doc mapInArrow kernel
+    computes each row's minima directly — no shingle-string explode (the
+    zip_with string build alone was 6.4 s at 50k docs) and no wide shuffle;
+    hashlib md5 over UTF-8 bytes equals Spark's md5, the tokenizer
+    reproduces Java's ASCII \\s class, and digest BYTES compare like hex
+    strings (hex is order-preserving), so the per-row minima are identical.
+    A final tiny groupBy(min) merges duplicate ids exactly as the explode
+    plan's groupBy did (min of per-row minima = min over the shingle
+    union)."""
+    salts = [f"#{i}".encode() for i in range(k)]
+
+    def _minhash_kernel(batches):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        # Java regex \s (Spark split): ASCII [ \t\n\x0B\f\r] only — python
+        # re's \s is Unicode-wide, so spell the class out
+        split = re.compile(r"[ \t\n\x0b\f\r]+").split
+        md5 = hashlib.md5
+        for b in batches:
+            texts = b.column(text_col)
+            outs: list[list] = [[] for _ in range(k)]
+            for t in texts:
+                s = t.as_py()
+                if s is None:
+                    # ws_tokens(NULL) -> [NULL] shingle -> NULL md5 -> NULL min
+                    for i in range(k):
+                        outs[i].append(None)
+                    continue
+                toks = [x for x in split(s) if x]
+                if len(toks) >= shingle_n:
+                    shingles = {
+                        " ".join(toks[i:i + shingle_n]).encode()
+                        for i in range(len(toks) - shingle_n + 1)
+                    }
+                else:
+                    shingles = {" ".join(toks).encode()}
+                for i in range(k):
+                    salt = salts[i]
+                    outs[i].append(
+                        min(md5(sh + salt).digest() for sh in shingles).hex()
+                    )
+            yield pa.record_batch(
+                [b.column(id_col)] + [pa.array(o, type=pa.string()) for o in outs],
+                names=[id_col] + [f"mh_{i}" for i in range(k)],
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    per_row = docs.select(id_col, text_col).mapInArrow(
+        _minhash_kernel,
+        f"{id_col} {id_type}, " + ", ".join(f"mh_{i} string" for i in range(k)),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return per_row.groupBy(id_col).agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(k)]
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
@@ -249,7 +298,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pair_rows"),
     ).collect()[0]
     n_vocab, pair_rows = st["v"], int(st["pair_rows"] or 0)
-    n_docs = sh.select(id_col).distinct().count()
+    # every doc yields >= 1 shingle (word_shingle_hashes' <n-token fallback),
+    # so the doc count IS the shingled-doc count — plan-choice input only,
+    # and a parquet metadata count beats a distinct over the exploded stream
+    n_docs = docs.count()
     id_type = docs.schema[id_col].dataType.simpleString()
 
     if plan == "auto":
@@ -353,6 +405,10 @@ def _jaccard_blocked_bitset(sh: DataFrame, id_col: str, threshold: float,
     vocab = sh.select("shh").distinct().withColumn(
         "sid", (F.row_number().over(Window.orderBy("shh")) - 1).cast("int")
     )
+    # eager checkpoint: both sides of the side-tagged union below read `ids`,
+    # and without materialization the whole join+collect subtree runs TWICE
+    # (measured ~8 s of the dense path at 50k docs). The frame is small:
+    # one row per doc with a <=vocab-wide sid list.
     ids = (
         sh.join(F.broadcast(vocab), "shh")
         .groupBy(id_col)
@@ -360,7 +416,7 @@ def _jaccard_blocked_bitset(sh: DataFrame, id_col: str, threshold: float,
         .withColumn(
             "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
         )
-    )
+    ).localCheckpoint(eager=True)
     # one side-tagged union instead of a self-cogroup (avoids Spark's
     # ambiguous-self-join analysis); the kernel splits by side
     left = ids.withColumn(
@@ -378,47 +434,66 @@ def _jaccard_blocked_bitset(sh: DataFrame, id_col: str, threshold: float,
     )
     loose = max(0.0, threshold - 1e-4)
 
-    def _block_pair(key, pdf):
+    def _block_pair(key, tbl):
+        # applyInArrow kernel (r6; was applyInPandas with a per-row python
+        # build loop). Two constants dominated the stage, not the matmul:
+        # (a) Arrow->pandas conversion of the list column allocated one
+        # ndarray per row; the ListArray offsets/values buffers build the
+        # bitset matrix with ONE vectorized scatter instead. (b) the
+        # post-matmul candidate mask materialized int64 inter/union matrices
+        # (~350 MB per task at 3.8k-doc blocks; 32 concurrent tasks are
+        # memory-bandwidth bound): the jaccard prefilter is now fused in
+        # float32 via i >= t/(1+t)*(sa+sb) (minus 1e-3 slack for f32
+        # rounding), and the id-order masks apply AFTER nonzero() on the few
+        # surviving pairs. Only over-inclusion is possible; the exact rounded
+        # filter below stays Spark-side, so output is unchanged (pinned by
+        # the three-way plan-equality test). Measured 25 s -> ~2 s.
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        cols = ["doc_a", "doc_b", "inter", "sz_a", "sz_b"]
-        l = pdf[pdf["side"] == 0].reset_index(drop=True)
-        r = pdf[pdf["side"] == 1].reset_index(drop=True)
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame(columns=cols)
-        width = 0
-        for s in l["sids"]:
-            width = max(width, max(s) + 1)
-        for s in r["sids"]:
-            width = max(width, max(s) + 1)
-        ma = np.zeros((len(l), width), dtype=np.float32)
-        for i, s in enumerate(l["sids"]):
-            ma[i, list(s)] = 1.0
-        mb = np.zeros((len(r), width), dtype=np.float32)
-        for i, s in enumerate(r["sids"]):
-            mb[i, list(s)] = 1.0
-        inter = (ma @ mb.T).astype(np.int64)
-        sz_a = ma.sum(axis=1).astype(np.int64)
-        sz_b = mb.sum(axis=1).astype(np.int64)
-        union = sz_a[:, None] + sz_b[None, :] - inter
-        mask = (inter > 0) & (inter >= loose * union)
-        la = l[id_col].to_numpy()
-        rb = r[id_col].to_numpy()
-        if key[0] == key[1]:
-            mask &= la[:, None] < rb[None, :]
-        else:
-            mask &= la[:, None] != rb[None, :]
-        ii, jj = np.nonzero(mask)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        ids_np = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        rmask = ~lmask
+        if not lmask.any() or not rmask.any():
+            nothing = np.array([], dtype=np.int64)
+            no_id = np.array([], dtype=ids_np.dtype)
+            return pa.table(
+                {"doc_a": no_id, "doc_b": no_id, "inter": nothing,
+                 "sz_a": nothing, "sz_b": nothing}
+            )
+        sids = tbl.column("sids")
+        if isinstance(sids, pa.ChunkedArray):
+            sids = sids.combine_chunks()
+        offs = sids.offsets.to_numpy(zero_copy_only=False)
+        vals = sids.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        n = len(side)
+        width = int(vals.max()) + 1 if len(vals) else 1
+        m = np.zeros((n, width), dtype=np.float32)
+        m[np.repeat(np.arange(n), lens), vals] = 1.0
+        ma, mb = m[lmask], m[rmask]
+        la, rb = ids_np[lmask], ids_np[rmask]
+        inter_f = ma @ mb.T                      # exact: counts < 2^24
+        sz_a = lens[lmask].astype(np.int64)
+        sz_b = lens[rmask].astype(np.int64)
+        thr = np.float32(max(0.0, loose / (1.0 + loose) - 1e-3))
+        tmp = np.add.outer(sz_a.astype(np.float32), sz_b.astype(np.float32))
+        np.multiply(tmp, thr, out=tmp)
+        cand = (inter_f > 0) & (inter_f >= tmp)
+        ii, jj = np.nonzero(cand)
         a_ids, b_ids = la[ii], rb[jj]
-        lo = np.minimum(a_ids, b_ids)
-        hi = np.maximum(a_ids, b_ids)
-        return pd.DataFrame(
-            {"doc_a": lo, "doc_b": hi, "inter": inter[ii, jj],
+        keep = a_ids < b_ids if key[0] == key[1] else a_ids != b_ids
+        ii, jj = ii[keep], jj[keep]
+        a_ids, b_ids = a_ids[keep], b_ids[keep]
+        return pa.table(
+            {"doc_a": np.minimum(a_ids, b_ids),
+             "doc_b": np.maximum(a_ids, b_ids),
+             "inter": inter_f[ii, jj].astype(np.int64),
              "sz_a": sz_a[ii], "sz_b": sz_b[jj]}
         )
 
-    cg = both.groupBy("bi", "bj").applyInPandas(_block_pair, schema=out_schema)
+    cg = both.groupBy("bi", "bj").applyInArrow(_block_pair, schema=out_schema)
     return (
         cg.withColumn(
             "jaccard",
@@ -467,6 +542,17 @@ def _jaccard_count_join(sh_stream: DataFrame, id_col: str,
 _HEX = "0123456789abcdef"
 
 
+def _md5_halves(h: Column) -> tuple[Column, Column]:
+    """The first 16 hex nibbles of an md5 column as two 32-bit longs
+    (nibbles 0-7 in x_hi, 8-15 in x_lo): ONE conv() per half replaces a
+    substr+instr string probe per extracted bit — nibble n's bit k is then
+    ``(x >> (4*(7 - n%8) + k)) & 1``. Exact: 8 hex chars < 2^32."""
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long"),
+    )
+
+
 def simhash16(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash per document, engine-portable construction:
@@ -475,24 +561,30 @@ def simhash16(docs: DataFrame, text_col: str = "text",
     Tokens count with multiplicity. The 16-bit md5-nibble width keeps the
     construction expressible in BOTH Spark and DuckDB SQL for the oracle
     check; the production-width variant is simhash64 (xxhash64, Spark-only).
-    """
+
+    Physical form (r6, output-identical, ~1.8x): nibbles come from two
+    conv(hex,16,10) halves instead of 16 substr+instr probes, and the
+    majority test is ``2*sum(bit) > count`` instead of ``sum(+-1) > 0``
+    (equal because sum(+-1) = 2*sum(bit) - count)."""
     toks = docs.select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
-    aggs = [
-        F.sum(
-            F.when(
-                ((F.instr(F.lit(_HEX), F.substring(F.col("h"), j + 1, 1)) - 1) % 2)
-                == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"b{j}")
-        for j in range(16)
-    ]
+    )
+    x_hi, x_lo = _md5_halves(F.md5(F.col("tok")))
+    toks = toks.select(id_col, x_hi.alias("xh"), x_lo.alias("xl"))
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for j in range(16):
+        x = F.col("xh") if j < 8 else F.col("xl")
+        aggs.append(
+            F.sum(
+                F.shiftright(x, 4 * (7 - (j % 8))).bitwiseAND(F.lit(1))
+            ).alias(f"s{j}")
+        )
     g = toks.groupBy(id_col).agg(*aggs)
     fp = None
     for j in range(16):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"s{j}") * 2 > F.col("cnt"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return g.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
@@ -533,32 +625,34 @@ def simhash64_md5(docs: DataFrame, text_col: str = "text",
     oracle-paired end-to-end. Bit 63 is assembled from the min-long literal
     (a 1<<63 shift overflows signed 64-bit in both engines); disjoint bit
     terms are summed, so no partial sum can overflow. The xxhash64 variant
-    (``simhash64``) stays the fastest production construction."""
+    (``simhash64``) stays the fastest production construction.
+
+    Physical form (r6, output-identical, ~1.5x): same conv-halves nibble
+    extraction and 2*sum(bit) > count majority test as simhash16."""
     toks = docs.select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
-    nib = [
-        F.instr(F.lit(_HEX), F.substring(F.col("h"), n + 1, 1)) - 1
-        for n in range(16)
-    ]
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(nib[j // 4], j % 4).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"b{j}")
-        for j in range(64)
-    ]
+    )
+    x_hi, x_lo = _md5_halves(F.md5(F.col("tok")))
+    toks = toks.select(id_col, x_hi.alias("xh"), x_lo.alias("xl"))
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for j in range(64):
+        n = j // 4  # hex nibble index 0..15
+        x = F.col("xh") if n < 8 else F.col("xl")
+        aggs.append(
+            F.sum(
+                F.shiftright(x, 4 * (7 - (n % 8)) + (j % 4)).bitwiseAND(F.lit(1))
+            ).alias(f"s{j}")
+        )
     g = toks.groupBy(id_col).agg(*aggs)
     fp = (
-        F.when(F.col("b63") > 0, F.lit(-9223372036854775808))
+        F.when(F.col("s63") * 2 > F.col("cnt"), F.lit(-9223372036854775808))
         .otherwise(F.lit(0))
         .cast("long")
     )
     for j in range(63):
         fp = fp + F.when(
-            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            F.col(f"s{j}") * 2 > F.col("cnt"),
+            F.shiftleft(F.lit(1).cast("long"), j),
         ).otherwise(F.lit(0).cast("long"))
     return g.select(F.col(id_col), fp.alias("simhash"))
 

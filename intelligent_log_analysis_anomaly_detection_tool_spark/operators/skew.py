@@ -36,6 +36,22 @@ def salted_repartition(df: DataFrame, key: str, salt_n: int = 16,
     return out.drop("_salt")
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a frame whose planned scan is NARROWER than
+    the session's core count (r6). A small-but-row-heavy input file (the
+    5.9 MB / 50k-doc documents table is 1-2 stock 128 MB splits) serializes
+    every per-row stage built on it — tokenize/md5/shingle work measured
+    running on 2 of 32 cores. The spread is scale-adaptive, not a config:
+    at real corpus sizes the scan already has >= defaultParallelism splits
+    and this is an exact no-op; locally it costs one exchange of the tiny
+    input. Row content is unchanged (round-robin repartition is
+    deterministic: sort-before-repartition is on by default)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def skew_report(df: DataFrame, key: str, top_n: int = 5):
     """Measure key skew: top-N heaviest keys and their share of all rows —
     the number BENCH.md quotes for the hot-conversation fixture."""
