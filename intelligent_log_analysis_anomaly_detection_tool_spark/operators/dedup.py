@@ -314,7 +314,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                                           dense_vocab_max)
 
     if plan == "dense":
-        out = _jaccard_blocked_bitset(sh, id_col, threshold, n_blocks, id_type)
+        out = _jaccard_blocked_bitset(sh, freq, id_col, threshold, n_blocks,
+                                      id_type)
     elif plan == "count_join":
         out = _jaccard_count_join(sh, id_col, threshold)
     elif plan == "prefix":
@@ -380,8 +381,9 @@ def _jaccard_prefix_hash(sh: DataFrame, freq: DataFrame, id_col: str,
     )
 
 
-def _jaccard_blocked_bitset(sh: DataFrame, id_col: str, threshold: float,
-                            n_blocks: int, id_type: str) -> DataFrame:
+def _jaccard_blocked_bitset(sh: DataFrame, freq: DataFrame, id_col: str,
+                            threshold: float, n_blocks: int,
+                            id_type: str) -> DataFrame:
     """Exact all-pairs Jaccard for DENSE vocabularies via blocked bitsets.
 
     When the distinct-shingle vocabulary is small, "pairs sharing a shingle"
@@ -398,11 +400,14 @@ def _jaccard_blocked_bitset(sh: DataFrame, id_col: str, threshold: float,
     rounding is bit-identical to the count-join / oracle path.
 
     ``sh`` is the persisted exploded (id, shingle) stream built by
-    ngram_jaccard_pairs.
+    ngram_jaccard_pairs; ``freq`` is its per-shingle df aggregate from the
+    stats pass — its distinct shingles ARE the vocabulary, so the dense-id
+    assignment reuses that tiny frame instead of a second distinct pass over
+    the stream (r6).
     """
     # dense ids via single-partition window — fine by construction: this path
     # is only chosen when the vocabulary is small
-    vocab = sh.select("shh").distinct().withColumn(
+    vocab = freq.select("shh").withColumn(
         "sid", (F.row_number().over(Window.orderBy("shh")) - 1).cast("int")
     )
     # eager checkpoint: both sides of the side-tagged union below read `ids`,
