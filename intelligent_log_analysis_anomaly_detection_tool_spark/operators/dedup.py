@@ -824,6 +824,10 @@ def hamming_near_dup_pairs(sim: DataFrame, id_col: str = "doc_id",
     if sum(comb(fp_bits, r) for r in range(max_hamming + 1)) <= 4096:
         return _hamming_dense_value_space(sim, id_col, max_hamming, fp_bits)
     width = fp_bits // nblocks
+    # both sides of the block self-join read `sim`; without materialization
+    # the fingerprint aggregation subtree (64 sum-aggs over the exploded
+    # token stream for simhash64) is computed TWICE in the plan (r6)
+    sim = sim.localCheckpoint(eager=True)
     blocks = sim.select(
         F.col(id_col),
         F.col("simhash"),

@@ -73,36 +73,51 @@ def timewindow_anomalies(
     ).withColumn("w_end", F.col("w_start") + cfg.window_s)
     rate = F.col("errors") / F.col("total")
 
-    err = agg.filter(rate > cfg.error_rate_threshold).select(
-        "conv_id",
-        F.lit(None).cast("int").alias("turn_idx"),
-        F.lit("timewindow").alias("detector"),
-        F.lit(T_FREQ_SPIKE).alias("anomaly_type"),
-        F.least(F.lit(1.0), rate * 2.0).alias("score"),
-        F.timestamp_seconds("w_start").alias("window_start"),
-        F.timestamp_seconds("w_end").alias("window_end"),
-        F.lit(None).cast("string").alias("source"),
-        _fmt_error_spike()(rate, F.col("w_start"), F.col("w_end")).alias("description"),
-    )
-    burst = agg.filter(F.col("total") > cfg.burst_threshold).select(
-        "conv_id",
-        F.lit(None).cast("int").alias("turn_idx"),
-        F.lit("timewindow").alias("detector"),
-        F.lit(T_FREQ_SPIKE).alias("anomaly_type"),
-        F.least(F.lit(1.0), F.col("total") / F.lit(float(cfg.burst_threshold))).alias(
-            "score"
+    # ONE pass over the bucket aggregate: the error-spike row and the
+    # event-burst row are emitted via a filtered-array explode (r6; same
+    # shape as pattern_anomalies' two descriptions) — the former
+    # err/burst UNION consumed the whole anchors+agg subtree twice, i.e.
+    # two extra passes over the parsed cache and two duplicate shuffles.
+    # Row multiset is unchanged (a bucket matching both still emits both).
+    err_struct = F.when(
+        rate > cfg.error_rate_threshold,
+        F.struct(
+            F.least(F.lit(1.0), rate * 2.0).alias("score"),
+            _fmt_error_spike()(rate, F.col("w_start"), F.col("w_end")).alias(
+                "description"
+            ),
         ),
+    )
+    burst_struct = F.when(
+        F.col("total") > cfg.burst_threshold,
+        F.struct(
+            F.least(
+                F.lit(1.0), F.col("total") / F.lit(float(cfg.burst_threshold))
+            ).alias("score"),
+            F.concat(
+                F.lit("Event burst: "),
+                F.col("total").cast("string"),
+                F.lit(f" events in {cfg.window_s}s window"),
+            ).alias("description"),
+        ),
+    )
+    out = agg.select(
+        "conv_id",
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit("timewindow").alias("detector"),
+        F.lit(T_FREQ_SPIKE).alias("anomaly_type"),
         F.timestamp_seconds("w_start").alias("window_start"),
         F.timestamp_seconds("w_end").alias("window_end"),
         F.lit(None).cast("string").alias("source"),
-        F.concat(
-            F.lit("Event burst: "),
-            F.col("total").cast("string"),
-            F.lit(f" events in {cfg.window_s}s window"),
-        ).alias("description"),
+        F.explode(
+            F.filter(F.array(err_struct, burst_struct), lambda x: x.isNotNull())
+        ).alias("fire"),
+    ).select(
+        "conv_id", "turn_idx", "detector", "anomaly_type",
+        F.col("fire.score").alias("score"),
+        "window_start", "window_end", "source",
+        F.col("fire.description").alias("description"),
     )
-
-    out = err.unionByName(burst)
     sev_ord = (
         F.when(F.col("score") >= 0.9, S_HIGH)
         .when(F.col("score") >= 0.6, S_MED)
