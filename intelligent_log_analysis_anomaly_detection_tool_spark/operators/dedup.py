@@ -690,20 +690,35 @@ def _cross_pairs_kernel(batches):
             continue
         ia_col = b.column("ids_a")
         ib_col = b.column("ids_b")
+        if isinstance(ia_col, pa.ChunkedArray):
+            ia_col = ia_col.combine_chunks()
+        if isinstance(ib_col, pa.ChunkedArray):
+            ib_col = ib_col.combine_chunks()
         ham = b.column("hamming").to_numpy(zero_copy_only=False)
-        outs_a, outs_b, outs_h = [], [], []
+        # preallocate the full output once (sizes known from the list
+        # offsets): the output stream is huge (230M rows at 50k docs), and
+        # per-row arrays + a concatenate pass doubled the allocation churn —
+        # kernel-time (page-fault) share was the top cost in /proc/stat
+        # annotations of this query
+        la_all = np.diff(ia_col.offsets.to_numpy(zero_copy_only=False))
+        lb_all = np.diff(ib_col.offsets.to_numpy(zero_copy_only=False))
+        sizes = la_all * lb_all
+        total = int(sizes.sum())
+        id_dt = ia_col.values.to_numpy(zero_copy_only=False).dtype
+        A = np.empty(total, dtype=id_dt)
+        B = np.empty(total, dtype=id_dt)
+        H = np.repeat(ham.astype(np.int32), sizes)
+        pos = 0
         for i in range(b.num_rows):
             a = np.asarray(ia_col[i].values)
             bb = np.asarray(ib_col[i].values)
-            la, lb = len(a), len(bb)
-            outs_a.append(np.repeat(a, lb))
-            outs_b.append(np.tile(bb, la))
-            outs_h.append(np.full(la * lb, ham[i], dtype=np.int32))
-        A = np.concatenate(outs_a)
-        B = np.concatenate(outs_b)
+            n = int(sizes[i])
+            A[pos:pos + n] = np.repeat(a, len(bb))
+            B[pos:pos + n] = np.tile(bb, len(a))
+            pos += n
         yield pa.record_batch(
             [pa.array(np.minimum(A, B)), pa.array(np.maximum(A, B)),
-             pa.array(np.concatenate(outs_h))],
+             pa.array(H)],
             names=["doc_a", "doc_b", "hamming"],
         )
 
@@ -821,7 +836,14 @@ def hamming_near_dup_pairs(sim: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"fp_bits={fp_bits} < blocks={nblocks}")
     from math import comb
 
-    if sum(comb(fp_bits, r) for r in range(max_hamming + 1)) <= 4096:
+    # dense only when BOTH the Hamming ball is enumerable (mask count) AND
+    # the fingerprint space is narrow: a wide fingerprint at tiny k would
+    # pass the mask test (64 bits / k=1 -> 65 masks) yet have ~N distinct
+    # values, making the dense plan's present-value broadcast O(N) for no
+    # skew benefit — wide fingerprints always take the selective block join
+    if fp_bits <= 24 and sum(
+        comb(fp_bits, r) for r in range(max_hamming + 1)
+    ) <= 4096:
         return _hamming_dense_value_space(sim, id_col, max_hamming, fp_bits)
     width = fp_bits // nblocks
     # both sides of the block self-join read `sim`; without materialization
