@@ -284,15 +284,19 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     advisor finding)."""
     from pyspark import StorageLevel
 
-    # materialize the exploded (doc, shingle-hash) stream ONCE — the
-    # shingle expression is the dominant per-pass cost and the stats pass
-    # and every physical path re-read it. Hash-identity shingles: no string
-    # building, 64-bit keys in every exchange.
-    sh = docs.select(
+    # materialize the PER-DOC shingle-hash ARRAYS once (r6): the shingle
+    # expression is the dominant per-pass cost; an eager checkpoint of the
+    # narrow (id, array<long>) frame makes every downstream pass (stats
+    # explode, dense kernel, count-join/prefix explode) read hashes instead
+    # of re-tokenizing text. Strictly smaller than the round-5 persisted
+    # exploded stream (one row per doc, no duplicated id column), and the
+    # dense path now consumes the arrays DIRECTLY — no explode at all.
+    arr = docs.select(
         F.col(id_col),
-        F.explode(word_shingle_hashes(F.col(text_col), shingle_n)).alias("shh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    freq = sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
+        word_shingle_hashes(F.col(text_col), shingle_n).alias("shh_arr"),
+    ).localCheckpoint(eager=True)
+    ex = arr.select(F.col(id_col), F.explode("shh_arr").alias("shh"))
+    freq = ex.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
     st = freq.agg(
         F.count(F.lit(1)).alias("v"),
         F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pair_rows"),
@@ -313,21 +317,26 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         _, n_blocks = choose_jaccard_plan(n_vocab, n_docs, pair_rows,
                                           dense_vocab_max)
 
+    sh = None
     if plan == "dense":
-        out = _jaccard_blocked_bitset(sh, freq, id_col, threshold, n_blocks,
+        out = _jaccard_blocked_bitset(arr, id_col, threshold, n_blocks,
                                       id_type)
     elif plan == "count_join":
+        sh = ex.persist(StorageLevel.MEMORY_AND_DISK)
         out = _jaccard_count_join(sh, id_col, threshold)
     elif plan == "prefix":
+        sh = ex.persist(StorageLevel.MEMORY_AND_DISK)
         out = _jaccard_prefix_hash(sh, freq, id_col, threshold)
     else:
         raise ValueError(f"unknown jaccard plan: {plan!r}")
 
     if eager:
-        # pin the (small) result, then drop the big shingle cache — without
+        # pin the (small) result, then drop the shingle cache — without
         # this the MEMORY_AND_DISK blocks live until the driver GCs the plan
+        # (the arr checkpoint RDD is freed when the plan objects are GC'd)
         out = out.localCheckpoint(eager=True)
-        sh.unpersist(blocking=False)
+        if sh is not None:
+            sh.unpersist(blocking=False)
     return out
 
 
@@ -381,47 +390,43 @@ def _jaccard_prefix_hash(sh: DataFrame, freq: DataFrame, id_col: str,
     )
 
 
-def _jaccard_blocked_bitset(sh: DataFrame, freq: DataFrame, id_col: str,
+def _jaccard_blocked_bitset(arr: DataFrame, id_col: str,
                             threshold: float, n_blocks: int,
                             id_type: str) -> DataFrame:
     """Exact all-pairs Jaccard for DENSE vocabularies via blocked bitsets.
 
     When the distinct-shingle vocabulary is small, "pairs sharing a shingle"
     is near-all-pairs and the count-join materializes O(sum df^2) rows (36.5M
-    at sf0.1 for 260 result rows). Here instead: assign every shingle a dense
-    integer id, every doc a bitset over the vocab, hash docs into B blocks,
-    and cogroup the B(B+1)/2 block-pairs; each task computes the full
-    inter-block intersection-count matrix as ONE numpy bool matmul (BLAS,
-    float32 — exact for counts < 2^24). No driver collect: each task holds
-    exactly two blocks. B is sized so a block's dense matrix stays ~64 MB.
+    at sf0.1 for 260 result rows). Here instead: hash docs into B blocks and
+    cogroup the B(B+1)/2 block-pairs; each task computes the inter-block
+    intersection counts as chunked numpy bool matmuls (BLAS, float32 — exact
+    for counts < 2^24). No driver collect: each task holds exactly two
+    blocks. B is sized so a block's dense matrix stays ~64 MB.
 
     The kernel emits (pair, inter, sz_a, sz_b) with a loose raw-jaccard
     prefilter; the final rounded-jaccard filter runs Spark-side so boundary
     rounding is bit-identical to the count-join / oracle path.
 
-    ``sh`` is the persisted exploded (id, shingle) stream built by
-    ngram_jaccard_pairs; ``freq`` is its per-shingle df aggregate from the
-    stats pass — its distinct shingles ARE the vocabulary, so the dense-id
-    assignment reuses that tiny frame instead of a second distinct pass over
-    the stream (r6).
+    ``arr`` is the checkpointed per-doc shingle-hash ARRAY frame built by
+    ngram_jaccard_pairs. Round-6 restructure (measured at 50k docs / 961
+    vocab, stage 22-36 s -> ~2 s):
+
+    - the global dense-id assignment (row_number window over the vocabulary
+      + broadcast join + collect_set over the exploded stream, ~3-5 s) is
+      GONE: each block-pair task builds a LOCAL vocabulary over the raw
+      64-bit hashes with one np.unique — the kernel only needs ids that are
+      dense within its own two blocks;
+    - the intersection matmul runs in row CHUNKS with a reused out= buffer
+      and the candidate threshold folded in-place (b = inter - thr*sa -
+      thr*sb >= 0; f32 error <= ~2e-5, far inside the 1e-3 slack), instead
+      of materializing full |A|x|B| inter/outer/cand matrices (~170 MB per
+      task at 3.8k-doc blocks; with 32 concurrent tasks the stage was
+      allocation/page-fault bound — /proc/stat showed 40-57% sys). Exact
+      inter values are recomputed for the few surviving pairs via einsum.
     """
-    # dense ids via single-partition window — fine by construction: this path
-    # is only chosen when the vocabulary is small
-    vocab = freq.select("shh").withColumn(
-        "sid", (F.row_number().over(Window.orderBy("shh")) - 1).cast("int")
+    ids = arr.filter(F.col("shh_arr").isNotNull()).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     )
-    # eager checkpoint: both sides of the side-tagged union below read `ids`,
-    # and without materialization the whole join+collect subtree runs TWICE
-    # (measured ~8 s of the dense path at 50k docs). The frame is small:
-    # one row per doc with a <=vocab-wide sid list.
-    ids = (
-        sh.join(F.broadcast(vocab), "shh")
-        .groupBy(id_col)
-        .agg(F.collect_set("sid").alias("sids"))
-        .withColumn(
-            "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
-        )
-    ).localCheckpoint(eager=True)
     # one side-tagged union instead of a self-cogroup (avoids Spark's
     # ambiguous-self-join analysis); the kernel splits by side
     left = ids.withColumn(
@@ -430,8 +435,8 @@ def _jaccard_blocked_bitset(sh: DataFrame, freq: DataFrame, id_col: str,
     right = ids.withColumn(
         "bi", F.explode(F.sequence(F.lit(0), F.col("blk")))
     ).withColumnRenamed("blk", "bj").withColumn("side", F.lit(1))
-    both = left.select(id_col, "sids", "bi", "bj", "side").unionByName(
-        right.select(id_col, "sids", "bi", "bj", "side")
+    both = left.select(id_col, "shh_arr", "bi", "bj", "side").unionByName(
+        right.select(id_col, "shh_arr", "bi", "bj", "side")
     )
 
     out_schema = (
@@ -439,63 +444,107 @@ def _jaccard_blocked_bitset(sh: DataFrame, freq: DataFrame, id_col: str,
     )
     loose = max(0.0, threshold - 1e-4)
 
+    _bufs: dict = {}  # per-task matrix-buffer reuse (captured by closure)
+
     def _block_pair(key, tbl):
-        # applyInArrow kernel (r6; was applyInPandas with a per-row python
-        # build loop). Two constants dominated the stage, not the matmul:
-        # (a) Arrow->pandas conversion of the list column allocated one
-        # ndarray per row; the ListArray offsets/values buffers build the
-        # bitset matrix with ONE vectorized scatter instead. (b) the
-        # post-matmul candidate mask materialized int64 inter/union matrices
-        # (~350 MB per task at 3.8k-doc blocks; 32 concurrent tasks are
-        # memory-bandwidth bound): the jaccard prefilter is now fused in
-        # float32 via i >= t/(1+t)*(sa+sb) (minus 1e-3 slack for f32
-        # rounding), and the id-order masks apply AFTER nonzero() on the few
-        # surviving pairs. Only over-inclusion is possible; the exact rounded
-        # filter below stays Spark-side, so output is unchanged (pinned by
-        # the three-way plan-equality test). Measured 25 s -> ~2 s.
         import numpy as np
         import pyarrow as pa
 
         side = tbl.column("side").to_numpy(zero_copy_only=False)
         ids_np = tbl.column(id_col).to_numpy(zero_copy_only=False)
         lmask = side == 0
-        rmask = ~lmask
-        if not lmask.any() or not rmask.any():
+        nb = int((~lmask).sum())
+        na = len(side) - nb
+        if na == 0 or nb == 0:
             nothing = np.array([], dtype=np.int64)
             no_id = np.array([], dtype=ids_np.dtype)
             return pa.table(
                 {"doc_a": no_id, "doc_b": no_id, "inter": nothing,
                  "sz_a": nothing, "sz_b": nothing}
             )
-        sids = tbl.column("sids")
+        sids = tbl.column("shh_arr")
         if isinstance(sids, pa.ChunkedArray):
             sids = sids.combine_chunks()
         offs = sids.offsets.to_numpy(zero_copy_only=False)
-        vals = sids.values.to_numpy(zero_copy_only=False)
+        raw = sids.values.to_numpy(zero_copy_only=False)
+        # task-local dense vocabulary: the hashes only need to be dense ids
+        # WITHIN this block-pair for the bitset scatter
+        _, vals = np.unique(raw, return_inverse=True)
         lens = np.diff(offs)
         n = len(side)
         width = int(vals.max()) + 1 if len(vals) else 1
-        m = np.zeros((n, width), dtype=np.float32)
-        m[np.repeat(np.arange(n), lens), vals] = 1.0
-        ma, mb = m[lmask], m[rmask]
-        la, rb = ids_np[lmask], ids_np[rmask]
-        inter_f = ma @ mb.T                      # exact: counts < 2^24
-        sz_a = lens[lmask].astype(np.int64)
-        sz_b = lens[rmask].astype(np.int64)
+        # under 32 concurrent python workers this box is allocation/copy
+        # bound (identical numpy steps run ~30x slower in situ than
+        # standalone; /proc/stat shows 40%+ sys during the stage), so the
+        # kernel touches as few bytes as possible: the left/right matrices
+        # are scattered DIRECTLY via a side-ordered row permutation (no
+        # full matrix + two fancy-index copies), the BLAS call consumes the
+        # transposed VIEW (sgemm's transB — no contiguous copy), and the
+        # two matrix buffers are reused across the task's groups via the
+        # _bufs default-arg cache (2-5 groups per task)
+        order = np.argsort(~lmask, kind="stable")  # left rows first
+        # row index of each shingle AFTER the permutation: position of its
+        # doc in `order`
+        inv_order = np.empty(n, dtype=np.int64)
+        inv_order[order] = np.arange(n)
+        rows = inv_order[np.repeat(np.arange(n), lens)]
+        key_m = (n, width)
+        m = _bufs.get(key_m)
+        if m is None or m.shape[0] < n or m.shape[1] < width:
+            m = np.zeros((n, width), dtype=np.float32)
+            _bufs.clear()
+            _bufs[key_m] = m
+        else:
+            m = m[:n, :width]
+            m.fill(0.0)
+        m[rows, vals] = 1.0
+        ma, mb = m[:na], m[na:n]
+        la, rb = ids_np[order[:na]], ids_np[order[na:]]
+        lens_o = lens[order]
+        sz_a = lens_o[:na].astype(np.int64)
+        sz_b = lens_o[na:].astype(np.int64)
         thr = np.float32(max(0.0, loose / (1.0 + loose) - 1e-3))
-        tmp = np.add.outer(sz_a.astype(np.float32), sz_b.astype(np.float32))
-        np.multiply(tmp, thr, out=tmp)
-        cand = (inter_f > 0) & (inter_f >= tmp)
-        ii, jj = np.nonzero(cand)
-        a_ids, b_ids = la[ii], rb[jj]
-        keep = a_ids < b_ids if key[0] == key[1] else a_ids != b_ids
-        ii, jj = ii[keep], jj[keep]
-        a_ids, b_ids = a_ids[keep], b_ids[keep]
+        sb_thr = sz_b.astype(np.float32) * thr
+        sa_thr = sz_a.astype(np.float32) * thr
+        CH = 256
+        buf = np.empty((min(CH, na), nb), dtype=np.float32)
+        same = key[0] == key[1]
+        out_a, out_b, out_i = [], [], []
+        mbT = mb.T                               # view: BLAS transB, no copy
+        for s in range(0, na, CH):
+            e = min(s + CH, na)
+            b = buf[: e - s]
+            np.dot(ma[s:e], mbT, out=b)          # exact: counts < 2^24
+            b -= sb_thr[None, :]
+            b -= sa_thr[s:e, None]
+            ii, jj = np.nonzero(b >= 0)
+            if not len(ii):
+                continue
+            ii += s
+            a_ids, b_ids = la[ii], rb[jj]
+            keep = a_ids < b_ids if same else a_ids != b_ids
+            ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                continue
+            # exact integer intersection for the survivors (the chunk buffer
+            # holds the threshold-shifted value, not the count)
+            inter = np.einsum(
+                "ij,ij->i", ma[ii], mb[jj]
+            ).astype(np.int64)
+            pos = inter > 0                      # thr==0 admits inter==0
+            out_a.append(la[ii][pos])
+            out_b.append(rb[jj][pos])
+            out_i.append(np.stack([inter[pos], sz_a[ii][pos], sz_b[jj][pos]]))
+        if out_a:
+            A = np.concatenate(out_a)
+            B = np.concatenate(out_b)
+            I = np.concatenate(out_i, axis=1)
+        else:
+            A = B = ids_np[0:0]
+            I = np.empty((3, 0), dtype=np.int64)
         return pa.table(
-            {"doc_a": np.minimum(a_ids, b_ids),
-             "doc_b": np.maximum(a_ids, b_ids),
-             "inter": inter_f[ii, jj].astype(np.int64),
-             "sz_a": sz_a[ii], "sz_b": sz_b[jj]}
+            {"doc_a": np.minimum(A, B), "doc_b": np.maximum(A, B),
+             "inter": I[0], "sz_a": I[1], "sz_b": I[2]}
         )
 
     cg = both.groupBy("bi", "bj").applyInArrow(_block_pair, schema=out_schema)
