@@ -480,22 +480,25 @@ def _jaccard_blocked_bitset(arr: DataFrame, id_col: str,
         # are scattered DIRECTLY via a side-ordered row permutation (no
         # full matrix + two fancy-index copies), the BLAS call consumes the
         # transposed VIEW (sgemm's transB — no contiguous copy), and the
-        # two matrix buffers are reused across the task's groups via the
-        # _bufs default-arg cache (2-5 groups per task)
+        # matrix buffer is reused across the task's groups via the _bufs
+        # closure cache (2-5 groups per task)
         order = np.argsort(~lmask, kind="stable")  # left rows first
         # row index of each shingle AFTER the permutation: position of its
         # doc in `order`
         inv_order = np.empty(n, dtype=np.int64)
         inv_order[order] = np.arange(n)
         rows = inv_order[np.repeat(np.arange(n), lens)]
-        key_m = (n, width)
-        m = _bufs.get(key_m)
-        if m is None or m.shape[0] < n or m.shape[1] < width:
-            m = np.zeros((n, width), dtype=np.float32)
+        # buffer cache keyed by width (the task-local vocab width is stable
+        # across a task's groups in the dense regime; a row-sliced view of a
+        # width-exact buffer stays C-contiguous, so BLAS sees it directly)
+        full = _bufs.get(width)
+        if full is None or full.shape[0] < n:
             _bufs.clear()
-            _bufs[key_m] = m
+            full = np.zeros((n, width), dtype=np.float32)
+            _bufs[width] = full
+            m = full
         else:
-            m = m[:n, :width]
+            m = full[:n]
             m.fill(0.0)
         m[rows, vals] = 1.0
         ma, mb = m[:na], m[na:n]

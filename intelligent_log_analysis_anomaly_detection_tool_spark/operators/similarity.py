@@ -125,36 +125,76 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     # and the DuckDB oracle's round semantics)
     loose = threshold - 1e-4
 
-    def _block_pair(key, pdf):
+    def _block_pair(key, tbl):
+        # applyInArrow kernel (r6; was applyInPandas with a per-row
+        # tolist() matrix build — the Arrow list column's offsets/values
+        # buffers reshape into the matrix directly), with the sims matmul
+        # chunked so no task materializes the full |A|x|B| float64 matrix
+        # (32 MB per task at 2k-row blocks; allocation churn under 32
+        # concurrent workers dominated the stage, same finding as the
+        # jaccard dense kernel). float64 math and formula unchanged, so
+        # every emitted cosine_raw is bit-identical.
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        cols = ["vec_a", "vec_b", "cosine_raw"]
-        l = pdf[pdf["side"] == 0].reset_index(drop=True)
-        r = pdf[pdf["side"] == 1].reset_index(drop=True)
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame(columns=cols)
-        la = l[id_col].to_numpy()
-        rb = r[id_col].to_numpy()
-        ma = np.array(l[vec_col].tolist(), dtype=np.float64)
-        mb = np.array(r[vec_col].tolist(), dtype=np.float64)
-        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
-        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
-        sims = ma @ mb.T
-        mask = sims >= loose
-        if key[0] == key[1]:
-            mask &= la[:, None] < rb[None, :]
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        ids_np = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        nb = int((~lmask).sum())
+        na = len(side) - nb
+        empty = {
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+            "cosine_raw": np.array([], dtype=np.float64),
+        }
+        if na == 0 or nb == 0:
+            return pa.table(empty)
+        vcol = tbl.column(vec_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        offs = vcol.offsets.to_numpy(zero_copy_only=False)
+        vals = vcol.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        d = int(lens[0])
+        if not (lens == d).all():  # ragged input: per-row fallback build
+            m = np.zeros((len(side), int(lens.max())), dtype=np.float64)
+            for i in range(len(side)):
+                m[i, : lens[i]] = vals[offs[i]:offs[i + 1]]
         else:
-            mask &= la[:, None] != rb[None, :]
-        ii, jj = np.nonzero(mask)
-        a_ids, b_ids = la[ii], rb[jj]
-        return pd.DataFrame(
-            {"vec_a": np.minimum(a_ids, b_ids),
-             "vec_b": np.maximum(a_ids, b_ids),
-             "cosine_raw": sims[ii, jj]}
-        )
+            m = vals.reshape(len(side), d).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ma, mb = m[lmask], m[~lmask]
+        la, rb = ids_np[lmask], ids_np[~lmask]
+        same = key[0] == key[1]
+        CH = 512
+        buf = np.empty((min(CH, na), nb), dtype=np.float64)
+        out_a, out_b, out_c = [], [], []
+        mbT = mb.T                               # view: BLAS transB, no copy
+        for s in range(0, na, CH):
+            e = min(s + CH, na)
+            b = buf[: e - s]
+            np.dot(ma[s:e], mbT, out=b)
+            ii, jj = np.nonzero(b >= loose)
+            if not len(ii):
+                continue
+            sims = b[ii, jj]
+            ii += s
+            a_ids, b_ids = la[ii], rb[jj]
+            keep = a_ids < b_ids if same else a_ids != b_ids
+            out_a.append(a_ids[keep])
+            out_b.append(b_ids[keep])
+            out_c.append(sims[keep])
+        if out_a:
+            A = np.concatenate(out_a)
+            B = np.concatenate(out_b)
+            C = np.concatenate(out_c)
+            return pa.table(
+                {"vec_a": np.minimum(A, B), "vec_b": np.maximum(A, B),
+                 "cosine_raw": C}
+            )
+        return pa.table(empty)
 
-    pairs = both.groupBy("bi", "bj").applyInPandas(
+    pairs = both.groupBy("bi", "bj").applyInArrow(
         _block_pair, schema="vec_a long, vec_b long, cosine_raw double"
     )
     return (
