@@ -386,3 +386,33 @@ def test_ivf_centroid_reuse_skips_fit(spark, emb, monkeypatch):
     ).toPandas()
     assert {"vec_a", "vec_b", "cosine"} == set(got2.columns)
     cells.unpersist()
+
+
+def test_cosine_near_dup_exact_matches_numpy(spark, emb):
+    """The exact blocked-matmul path (r6 Arrow kernel, chunked matmul) must
+    reproduce a brute numpy all-pairs scan: same pair set, bit-identical
+    rounded cosines. Covers the block-pair grouping, the side split, and the
+    chunked prefilter (loose - 1e-4 slack; exact filter Spark-side)."""
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sims = mat @ mat.T
+    thr = 0.4
+    want = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if round(sims[i, j], 4) >= thr:
+                a, b = int(ids[i]), int(ids[j])
+                want.add((min(a, b), max(a, b), round(sims[i, j], 4)))
+    got = cosine_near_dup_pairs(emb, threshold=thr).toPandas()
+    got_set = {
+        (int(r.vec_a), int(r.vec_b), float(r.cosine))
+        for r in got.itertuples()
+    }
+    assert got_set == want and len(want) > 0
