@@ -141,6 +141,9 @@ def main() -> None:
     )
     results: dict[int, dict] = {}
     all_trials: dict[int, list] = {}
+    # full per-trial CPU mix (not just the best trial's), so a matrix's
+    # clean-window claims are auditable from the artifact itself (r5 ADVICE)
+    all_mixes: dict[int, list] = {}
     # INTERLEAVE levels per trial round (L2,L8,L2,L8,...) instead of
     # exhausting one level first: the round-4 55.4M block showed monotone
     # host-window drift within a session (last trial -30%), which an
@@ -191,6 +194,10 @@ def main() -> None:
         r = json.loads(out.stdout.strip().splitlines()[-1])
         print(json.dumps(r), file=sys.stderr)
         all_trials[cpus].append(r["turns_per_sec"])
+        all_mixes.setdefault(cpus, []).append(
+            {k: r.get(k) for k in
+             ("wall_sec", "user_pct", "sys_pct", "idle_pct", "steal_pct")}
+        )
         if best is None or r["wall_sec"] < best["wall_sec"]:
             best = r
         results[cpus] = best
@@ -213,6 +220,7 @@ def main() -> None:
         "rows": results[hi]["rows"],
         **{f"local{c}": results[c] for c in cpu_levels},
         "trials_turns_per_sec": {str(c): all_trials[c] for c in cpu_levels},
+        "trials_cpu_mix": {str(c): all_mixes.get(c, []) for c in cpu_levels},
         "efficiency_best": round(eff_best, 3),
         "efficiency_median": round(eff_med, 3),
         "efficiency": round(eff_med, 3),
