@@ -416,3 +416,47 @@ def test_cosine_near_dup_exact_matches_numpy(spark, emb):
         for r in got.itertuples()
     }
     assert got_set == want and len(want) > 0
+
+
+def test_jaccard_dense_kernel_adversarial(spark):
+    """r6 kernel stress: many blocks (several groups per task, so the
+    buffer-reuse cache sees varying shapes), empty texts, exact duplicates,
+    a NULL text, and the threshold=0.0 edge (inter > 0 must still gate
+    emission). Forced-dense output must equal the count-join on all of it."""
+    import random
+
+    from intelligent_log_analysis_anomaly_detection_tool_spark.operators.dedup import (
+        _jaccard_blocked_bitset,
+        ngram_jaccard_pairs,
+        word_shingle_hashes,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(18)]
+    rows = []
+    for i in range(600):
+        txt = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 24)))
+        if i % 17 == 0:
+            txt = ""
+        if i % 23 == 0 and i:
+            txt = rows[i - 1][1]
+        rows.append((i, txt))
+    rows.append((601, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for thr in (0.3, 0.0):
+        want = (
+            ngram_jaccard_pairs(docs, shingle_n=2, threshold=thr,
+                                plan="count_join")
+            .toPandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+        )
+        arr = docs.select(
+            F.col("doc_id"),
+            word_shingle_hashes(F.col("text"), 2).alias("shh_arr"),
+        ).localCheckpoint(eager=True)
+        got = (
+            _jaccard_blocked_bitset(arr, "doc_id", thr, 9, "bigint")
+            .toPandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert len(want) > 0
