@@ -237,11 +237,25 @@ def choose_jaccard_plan(n_vocab: int, n_docs: int, count_join_rows: int,
       (sum over shingles of df*(df-1)/2); chosen only under budget.
     - ``prefix``: Bayardo/Chaudhuri prefix filtering — the lossless
       fallback when a hot shingle would make the count-join quadratic
-      (one shingle in 50% of docs => ~n_docs^2/8 join rows)."""
+      (one shingle in 50% of docs => ~n_docs^2/8 join rows). Chosen ONLY
+      for wide vocabularies: with a narrow vocabulary every doc pair
+      shares prefix shingles, so the prefix candidate join degenerates to
+      ~all-pairs THROUGH A SHUFFLE+DISTINCT — strictly worse than the
+      dense matmul's ~100x-cheaper per-pair evaluation. A narrow-vocab
+      corpus too big for the count-join budget therefore stays dense at
+      ANY doc count (r6): the chunked kernel bounds per-task memory at
+      two 64 MB blocks regardless of block count (the 32-block gate
+      guarded the old full |A|x|B| output matrices, which no longer
+      exist), and the exact operator is inherently O(n^2) pair-evals on
+      that shape whatever the plan."""
     block_rows = max(512, min((64 << 20) // (max(n_vocab, 1) * 4),
                               dense_block_rows_cap))
     n_blocks = max(-(-n_docs // block_rows), min(8, max(1, n_docs // 64)))
-    if n_vocab < dense_vocab_max and n_blocks <= dense_max_blocks:
+    if n_vocab < dense_vocab_max:
+        if n_blocks <= dense_max_blocks:
+            return "dense", n_blocks
+        if count_join_rows <= count_join_budget:
+            return "count_join", n_blocks
         return "dense", n_blocks
     if count_join_rows <= count_join_budget:
         return "count_join", n_blocks

@@ -286,13 +286,17 @@ def test_choose_jaccard_plan():
 
     # small vocab, small corpus -> dense
     assert choose_jaccard_plan(931, 5000, 36_500_000)[0] == "dense"
-    # small vocab but HUGE corpus: block_rows capped at 4096, so 32 blocks
-    # cover only 131k docs -> must NOT stay dense (advisor's OOM shape);
-    # falls to count_join/prefix by pair-row budget
+    # small vocab, huge corpus, CHEAP join -> count_join (10M pair rows
+    # beat 1.25e11 dense pair-evals)
     plan, _ = choose_jaccard_plan(1000, 500_000, 10_000_000)
     assert plan == "count_join"
-    plan, _ = choose_jaccard_plan(1000, 500_000, 10**12)
-    assert plan == "prefix"
+    # small vocab, huge corpus, join over budget -> DENSE, not prefix (r6):
+    # prefix candidates degenerate to ~all-pairs through a shuffle+distinct
+    # on a narrow vocabulary, while the chunked dense kernel bounds every
+    # task at two 64 MB blocks whatever the block count (the old 32-block
+    # gate guarded full |A|x|B| output matrices that no longer exist)
+    plan, nb = choose_jaccard_plan(1000, 500_000, 10**12)
+    assert plan == "dense" and nb > 32
     # big vocab, cheap join -> count_join
     assert choose_jaccard_plan(10**7, 10**6, 1_000_000)[0] == "count_join"
     # big vocab, hot shingle (50% df => n^2/8 pair rows) -> prefix
