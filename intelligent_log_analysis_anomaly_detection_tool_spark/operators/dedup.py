@@ -224,38 +224,36 @@ def choose_jaccard_plan(n_vocab: int, n_docs: int, count_join_rows: int,
     """Pick the physical strategy for exact jaccard from measured corpus
     stats. Pure function (unit-testable). Returns (plan, n_blocks).
 
-    - ``dense``: blocked-bitset matmul. Chosen when the vocabulary fits a
-      bitset AND the corpus fits <= dense_max_blocks blocks of
-      <= dense_block_rows_cap docs. block_rows is bounded BOTH by the bitset
-      width (~64 MB float32 per block) and by an output-matrix budget: a
-      block-pair task materializes O(block_rows^2) intersection/union
-      matrices, so an uncapped block_rows (small vocab, huge corpus) would
-      OOM the executor — the r2 advisor's finding. At the 4096 cap the
-      per-task peak is ~350 MB.
+    - ``dense``: blocked-bitset matmul (chunked kernel, r6: a block-pair
+      task holds two <= ~64 MB float32 block matrices plus a fixed-size
+      chunk buffer — the old full |A|x|B| intersection/union output
+      matrices, the r2 advisor's OOM shape, no longer exist). Chosen when
+      the vocabulary fits a bitset and the corpus fits <= dense_max_blocks
+      blocks — or, at ANY corpus size, when the vocabulary is TRULY narrow
+      (<= 4096) and pair sharing is provably near-all-pairs
+      (count_join_rows > n_docs^2/8): on that shape the prefix filter's
+      candidate join also degenerates to ~all-pairs but pays for each pair
+      through a shuffle+distinct, ~100x the matmul's per-pair cost, while
+      per-task memory here stays <= 2 x 4096 x 4096 x 4B. The near-all-
+      pairs test matters: a mid-size vocabulary merely 20% over the join
+      budget (count_join_rows << n_docs^2) must still fall through to
+      prefix, whose candidates are bounded by actual sharing.
     - ``count_join``: shared-shingle pair counting. ``count_join_rows`` is
       the EXACT number of pair rows the join materializes before the groupBy
       (sum over shingles of df*(df-1)/2); chosen only under budget.
     - ``prefix``: Bayardo/Chaudhuri prefix filtering — the lossless
       fallback when a hot shingle would make the count-join quadratic
-      (one shingle in 50% of docs => ~n_docs^2/8 join rows). Chosen ONLY
-      for wide vocabularies: with a narrow vocabulary every doc pair
-      shares prefix shingles, so the prefix candidate join degenerates to
-      ~all-pairs THROUGH A SHUFFLE+DISTINCT — strictly worse than the
-      dense matmul's ~100x-cheaper per-pair evaluation. A narrow-vocab
-      corpus too big for the count-join budget therefore stays dense at
-      ANY doc count (r6): the chunked kernel bounds per-task memory at
-      two 64 MB blocks regardless of block count (the 32-block gate
-      guarded the old full |A|x|B| output matrices, which no longer
-      exist), and the exact operator is inherently O(n^2) pair-evals on
-      that shape whatever the plan."""
+      (one shingle in 50% of docs => ~n_docs^2/8 join rows) while overall
+      sharing stays sparse (the hot shingle sorts into suffixes and never
+      generates candidates)."""
     block_rows = max(512, min((64 << 20) // (max(n_vocab, 1) * 4),
                               dense_block_rows_cap))
     n_blocks = max(-(-n_docs // block_rows), min(8, max(1, n_docs // 64)))
-    if n_vocab < dense_vocab_max:
-        if n_blocks <= dense_max_blocks:
-            return "dense", n_blocks
-        if count_join_rows <= count_join_budget:
-            return "count_join", n_blocks
+    dense_fits = n_vocab < dense_vocab_max and n_blocks <= dense_max_blocks
+    all_pairs_anyway = (
+        n_vocab <= 4096 and count_join_rows > n_docs * n_docs // 8
+    )
+    if dense_fits or (all_pairs_anyway and count_join_rows > count_join_budget):
         return "dense", n_blocks
     if count_join_rows <= count_join_budget:
         return "count_join", n_blocks

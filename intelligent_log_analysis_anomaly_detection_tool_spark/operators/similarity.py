@@ -156,12 +156,16 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
         vals = vcol.values.to_numpy(zero_copy_only=False)
         lens = np.diff(offs)
         d = int(lens[0])
-        if not (lens == d).all():  # ragged input: per-row fallback build
-            m = np.zeros((len(side), int(lens.max())), dtype=np.float64)
-            for i in range(len(side)):
-                m[i, : lens[i]] = vals[offs[i]:offs[i + 1]]
-        else:
-            m = vals.reshape(len(side), d).astype(np.float64)
+        if not (lens == d).all():
+            # mixed-dimension embeddings are corrupt input; fail loudly
+            # (the pre-r6 pandas kernel raised here too via np.array of an
+            # inhomogeneous list) rather than zero-pad into plausible-
+            # looking but meaningless cosines
+            raise ValueError(
+                "cosine_near_dup_pairs: ragged embedding dimensions "
+                f"(saw lengths {sorted(set(int(x) for x in lens))[:5]})"
+            )
+        m = vals.reshape(len(side), d).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         ma, mb = m[lmask], m[~lmask]
         la, rb = ids_np[lmask], ids_np[~lmask]
